@@ -1,0 +1,90 @@
+"""Normalize stage: nested CDC envelopes → flat relational turn rows.
+
+This is the engine's echo of the reference's hierarchical→relational
+flattening (HierarchyFlattener.java:127-351): a nested structure (change
+envelopes carrying arrays of turn structs) becomes flat relational rows,
+purely via Column algebra — ``explode`` + struct projection, zero per-row
+Python (the reference's zero-UDF discipline, SURVEY.md §2.1). The optional
+text-normalization step is a **vectorized Arrow pandas_udf** (batch
+transfer, no per-row Python), the only permitted Python on the hot path.
+
+Turn-struct columns are discovered from the schema, so additively-evolved
+envelopes (extra turn fields, FIXTURES.md F6b) flow through without code
+changes — the schema-evolution path (operators.merge) widens the target
+before applying them.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+META_LSN = "_lsn"
+META_TS = "_commit_ts"
+META_OP = "_op"
+META_BUCKET = "_bucket"
+
+
+@pandas_udf(T.StringType())
+def normalize_text_arrow(texts: pd.Series) -> pd.Series:
+    """Vectorized text cleanup: Unicode NFC, strip control chars, collapse
+    whitespace. Arrow-batched (10-100× a row-at-a-time Python UDF)."""
+    import unicodedata
+
+    s = texts.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+    s = s.str.replace(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", regex=True)
+    return s.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+def normalize_text_builtin(col):
+    """Whitespace-collapse + trim via JVM-side regexp (whole-stage codegen);
+    the default hot path when full Unicode normalization isn't required."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def turn_fields(envelope_df: DataFrame) -> list[T.StructField]:
+    payload = envelope_df.schema["payload"].dataType
+    return list(payload["turns"].dataType.elementType.fields)
+
+
+def normalize_envelopes(
+    envelopes: DataFrame,
+    text_mode: str = "builtin",  # "builtin" | "arrow" | "none"
+) -> tuple[DataFrame, DataFrame]:
+    """Split an envelope batch into (upsert turn rows, delete watermarks).
+
+    Returns:
+      upserts — one row per (event, turn): all turn-struct columns +
+                ``_lsn``/``_commit_ts`` metadata, plus ``conv_id``.
+      deletes — ``(conv_id, _lsn)``: max delete LSN per conversation
+                (whole-conversation tombstone watermark).
+    """
+    tfields = turn_fields(envelopes)
+    upserts = (
+        envelopes.where(F.col("op") != "delete")
+        .select(
+            F.col("conv_id"),
+            F.col("lsn").alias(META_LSN),
+            F.col("commit_ts").alias(META_TS),
+            F.explode("payload.turns").alias("t"),
+        )
+        .select("conv_id", META_LSN, META_TS, "t.*")
+    )
+    if text_mode == "arrow":
+        upserts = upserts.withColumn("text", normalize_text_arrow(F.col("text")))
+    elif text_mode == "builtin":
+        upserts = upserts.withColumn("text", normalize_text_builtin(F.col("text")))
+    elif text_mode != "none":
+        raise ValueError(f"unknown text_mode {text_mode!r}")
+    # stable column order: conv_id, turn columns, metadata
+    out_cols = ["conv_id"] + [f.name for f in tfields] + [META_LSN, META_TS]
+    upserts = upserts.select(*out_cols)
+
+    deletes = (
+        envelopes.where(F.col("op") == "delete")
+        .groupBy("conv_id")
+        .agg(F.max("lsn").alias(META_LSN))
+    )
+    return upserts, deletes

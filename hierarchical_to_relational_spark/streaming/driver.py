@@ -1,0 +1,88 @@
+"""Structured Streaming CDC driver: binlog tail → foreachBatch → merge.
+
+The pipeline (north_rule core):
+
+    readStream(binlog dir, bounded files/trigger)
+      → foreachBatch: normalize (explode envelopes) → apply_cdc_batch
+        (LWW merge, idempotent snapshot commit keyed by the streaming
+        batch id) → lineage record
+
+Exactly-once: Spark's streaming checkpoint gives at-least-once micro-batch
+replay after a crash; the table commit is idempotent on batch_id, so a
+replayed batch is a no-op — together, exactly-once table state. Resuming is
+just restarting with the same checkpoint dir.
+
+No event-time watermarking is needed: out-of-order and late events are
+handled *inside the merge* by LWW-on-(lsn, commit_ts), which is
+order-insensitive and convergent (SURVEY.md §2.2 streaming row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from hierarchical_to_relational_spark.lineage import LineageStore
+from hierarchical_to_relational_spark.operators.merge import apply_cdc_batch, table_schema_for
+from hierarchical_to_relational_spark.operators.normalize import normalize_envelopes, turn_fields
+from hierarchical_to_relational_spark.sources import binlog as binlog_source
+from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
+
+
+class CdcPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        binlog_dir: str,
+        table_root: str,
+        checkpoint_dir: str,
+        n_buckets: int = 16,
+        text_mode: str = "builtin",
+        envelope_schema: T.StructType | None = None,
+    ):
+        self.spark = spark
+        self.binlog_dir = binlog_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.text_mode = text_mode
+        self.envelope_schema = envelope_schema or binlog_source.envelope_schema()
+
+        if SnapshotTable.exists(table_root):
+            self.table = SnapshotTable(table_root)
+        else:
+            probe = spark.createDataFrame([], self.envelope_schema)
+            base_cols = [T.StructField("conv_id", T.StringType(), False)] + turn_fields(probe)
+            self.table = SnapshotTable.create(table_root, table_schema_for(base_cols), n_buckets)
+        self.lineage = LineageStore(table_root)
+
+    # -- one micro-batch (also usable standalone for pure batch ingest) --
+    def apply_batch(self, envelopes: DataFrame, batch_id: int | str) -> dict:
+        upserts, deletes = normalize_envelopes(envelopes, text_mode=self.text_mode)
+        metrics = apply_cdc_batch(self.spark, self.table, upserts, deletes, batch_id=str(batch_id))
+        metrics["table_version"] = self.table.current_version()
+        self.lineage.record(metrics)
+        return metrics
+
+    # -- streaming entry point --
+    def run_stream(self, max_files_per_trigger: int | None = 4, await_termination: bool = True):
+        """Process all currently-available binlog segments as a sequence of
+        micro-batches (availableNow), checkpointed + resumable. Call again
+        after new segments land — or leave running with a processing-time
+        trigger in production."""
+        stream = binlog_source.stream_binlog(
+            self.spark, self.binlog_dir, self.envelope_schema, max_files_per_trigger
+        )
+        query = (
+            stream.writeStream.foreachBatch(lambda df, bid: self.apply_batch(df, bid))
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if await_termination:
+            query.awaitTermination()
+        return query
+
+    # -- batch replay (bench path): same merge machinery, explicit batches --
+    def replay_batch(self, paths_or_dir, batch_id: str) -> dict:
+        env = self.spark.read.schema(self.envelope_schema).parquet(
+            *(paths_or_dir if isinstance(paths_or_dir, list) else [paths_or_dir])
+        )
+        return self.apply_batch(env, batch_id)

@@ -1,0 +1,256 @@
+""""Icelite": a snapshot-log parquet table with Iceberg-equivalent semantics.
+
+No Iceberg/Delta jars exist in this sandbox (SURVEY.md §7.0), so the engine
+ships its own minimal table format providing exactly the guarantees the
+north rule needs:
+
+- **Atomic commits**: a commit is one JSON snapshot file created with
+  ``O_CREAT|O_EXCL`` (atomic on POSIX) after all data files are fully
+  written. Readers see the pre- or post-commit snapshot, never a partial
+  write. A crash after data write but before snapshot create leaves orphan
+  files that no snapshot references (ignored, GC-able).
+- **Idempotent commits keyed by batch_id** (the exactly-once primitive):
+  re-committing an already-applied batch_id is a no-op — replays after
+  failure/restart converge instead of duplicating.
+- **Bucket-partition copy-on-write**: rows are hash-bucketed on the merge
+  key (``conv_id``); each commit rewrites only the buckets the batch
+  touches and re-points the bucket→files mapping. Readers prune to the
+  buckets they need. This is the same physical shape Iceberg copy-on-write
+  MERGE produces.
+- **Additive schema evolution**: a commit may carry a widened schema
+  (new nullable columns only — mirroring the reference's additive
+  output-schema generation, HierarchyConfig.java:239-253); readers project
+  old files up to the current schema with null-filled columns.
+- **Time travel**: every snapshot is retained; ``read(version=n)`` serves
+  historical states (the lineage store records batch→version).
+
+Layout::
+
+    <root>/data/c-<commit-uuid>/_bucket=<k>/part-*.parquet
+    <root>/_snapshots/v<10-digit>.json   # {version, batch_id, schema,
+                                          #  live: {bucket: commit_dir}, ...}
+
+At 100 TB scale the JSON manifest holds one directory pointer per bucket
+(thousands, not millions, of entries) and commits touch only affected
+buckets — manifest size and commit cost stay O(buckets), independent of
+table size.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+SNAPSHOT_DIR = "_snapshots"
+DATA_DIR = "data"
+
+
+class CommitConflictError(RuntimeError):
+    pass
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self._snap_dir = os.path.join(root, SNAPSHOT_DIR)
+        self._data_dir = os.path.join(root, DATA_DIR)
+
+    # ---------- snapshot log ----------
+
+    @staticmethod
+    def create(root: str, schema: T.StructType, n_buckets: int = 16) -> "SnapshotTable":
+        t = SnapshotTable(root)
+        os.makedirs(t._snap_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        if t.current_version() is None:
+            t._write_snapshot(
+                {
+                    "version": 0,
+                    "batch_id": "__create__",
+                    "schema": schema.json(),
+                    "n_buckets": n_buckets,
+                    "live": {},
+                }
+            )
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.isdir(os.path.join(root, SNAPSHOT_DIR))
+
+    def _snapshot_path(self, version: int) -> str:
+        return os.path.join(self._snap_dir, f"v{version:010d}.json")
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(os.path.basename(p)[1:-5]) for p in glob.glob(os.path.join(self._snap_dir, "v*.json"))
+        )
+
+    def current_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"table {self.root} has no snapshots")
+        with open(self._snapshot_path(v)) as f:
+            return json.load(f)
+
+    def _write_snapshot(self, snap: dict) -> None:
+        """Atomic create: write tmp, then exclusive-create the final name.
+        Failure of the exclusive create means a concurrent writer won —
+        surfaced as a conflict for the caller to retry on a fresh version."""
+        path = self._snapshot_path(snap["version"])
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # fails with EEXIST if version already committed
+        except FileExistsError as e:
+            raise CommitConflictError(f"snapshot v{snap['version']} already exists") from e
+        finally:
+            os.unlink(tmp)
+
+    # ---------- metadata ----------
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.snapshot(version)["schema"]))
+
+    @property
+    def n_buckets(self) -> int:
+        return self.snapshot()["n_buckets"]
+
+    def committed_batch_ids(self) -> set[str]:
+        return {self.snapshot(v)["batch_id"] for v in self._versions()}
+
+    def bucket_col(self):
+        """Bucketing expression factory — callers compute
+        ``_bucket = pmod(xxhash64(key), n_buckets)``."""
+        nb = self.n_buckets
+        return lambda key_col: F.pmod(F.xxhash64(key_col), F.lit(nb)).cast("int")
+
+    # ---------- read ----------
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+        """Scan the live table state (or a historical version), optionally
+        pruned to a bucket subset. Old files are projected up to the current
+        schema (additive evolution → missing columns read as null)."""
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        live: dict[str, str] = snap["live"]
+        wanted = {str(b) for b in buckets} if buckets is not None else set(live.keys())
+        # group bucket partitions by owning commit dir → one scan per commit
+        by_commit: dict[str, list[str]] = {}
+        for b, commit_dir in live.items():
+            if b in wanted:
+                by_commit.setdefault(commit_dir, []).append(b)
+        out_cols = ["_bucket"] + schema.fieldNames()
+        parts: list[DataFrame] = []
+        for commit_dir, bks in sorted(by_commit.items()):
+            base = os.path.join(self.root, commit_dir)
+            paths = [os.path.join(base, f"_bucket={b}") for b in sorted(bks, key=int)]
+            df = spark.read.option("basePath", base).parquet(*paths)
+            for fld in schema.fields:  # null-fill columns added after this commit
+                if fld.name not in df.columns:
+                    df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+            parts.append(df.select(*out_cols))
+        if not parts:
+            empty = T.StructType([T.StructField("_bucket", T.IntegerType(), True)] + list(schema.fields))
+            return spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------- write ----------
+
+    def commit_overwrite_buckets(
+        self,
+        df: DataFrame,
+        buckets: list[int],
+        batch_id: str,
+        new_schema: T.StructType | None = None,
+    ) -> bool:
+        """Copy-on-write commit: replace the listed buckets' contents with
+        ``df`` (which must carry a ``_bucket`` column and only rows in those
+        buckets). Returns False (no-op) if ``batch_id`` was already
+        committed — the idempotence/exactly-once primitive.
+
+        ``new_schema`` (additive only) widens the table schema in the same
+        atomic snapshot."""
+        if batch_id in self.committed_batch_ids():
+            return False
+        cur = self.snapshot()
+        schema = new_schema or T.StructType.fromJson(json.loads(cur["schema"]))
+        if new_schema is not None:
+            old_names = set(T.StructType.fromJson(json.loads(cur["schema"])).fieldNames())
+            new_names = set(new_schema.fieldNames())
+            if not old_names <= new_names:
+                raise ValueError(f"schema evolution must be additive; dropped: {old_names - new_names}")
+
+        commit_rel = os.path.join(DATA_DIR, f"c-{uuid.uuid4().hex}")
+        commit_abs = os.path.join(self.root, commit_rel)
+        ordered = ["_bucket"] + [n for n in schema.fieldNames()]
+        # one file per bucket partition dir; bucket dirs drive read pruning
+        (
+            df.select(*ordered)
+            .repartition("_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(commit_abs)
+        )
+        written = {
+            os.path.basename(p).split("=", 1)[1]
+            for p in glob.glob(os.path.join(commit_abs, "_bucket=*"))
+        }
+
+        live = dict(cur["live"])
+        for b in buckets:
+            b = str(b)
+            if b in written:
+                live[b] = commit_rel
+            else:
+                live.pop(b, None)  # bucket emptied by this batch (all rows deleted)
+        snap = {
+            "version": cur["version"] + 1,
+            "batch_id": batch_id,
+            "schema": schema.json(),
+            "n_buckets": cur["n_buckets"],
+            "live": live,
+        }
+        try:
+            self._write_snapshot(snap)
+        except CommitConflictError:
+            # lost a race; data files become orphans. Re-check idempotence.
+            if batch_id in self.committed_batch_ids():
+                return False
+            raise
+        return True
+
+    def evolve(self, add_fields: list[T.StructField], batch_id: str) -> bool:
+        """Metadata-only additive widening (no data rewrite)."""
+        if batch_id in self.committed_batch_ids():
+            return False
+        cur = self.snapshot()
+        schema = T.StructType.fromJson(json.loads(cur["schema"]))
+        existing = set(schema.fieldNames())
+        for fld in add_fields:
+            if fld.name not in existing:
+                schema = schema.add(T.StructField(fld.name, fld.dataType, True))
+        self._write_snapshot(
+            {
+                "version": cur["version"] + 1,
+                "batch_id": batch_id,
+                "schema": schema.json(),
+                "n_buckets": cur["n_buckets"],
+                "live": cur["live"],
+            }
+        )
+        return True

@@ -1,0 +1,190 @@
+"""CDC vertical slice: datagen → normalize → merge → read, verified against
+the independent pure-pandas replay oracle (SURVEY.md §5.4, §7.2).
+
+Judged invariants covered here (BASELINE.json north_rule):
+- final-state equality: per-turn text equality under stable
+  (conv_id, turn_idx) ordering;
+- order-insensitivity: two different shuffles/batchings of the same event
+  set yield identical final state;
+- exactly-once: re-firing the same batch_id is a no-op;
+- deletes: whole-conversation tombstones kill older turns, spare newer;
+- schema evolution: additively-widened late events widen the target.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_to_relational_spark import datagen
+from hierarchical_to_relational_spark.operators.merge import read_transcripts
+from hierarchical_to_relational_spark.sources.binlog import envelope_schema
+from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+from pyspark.sql import types as T
+
+
+SPEC = datagen.BinlogSpec(n_events=400, n_convs=25, seed=7)
+
+
+@pytest.fixture(scope="module")
+def binlog(tmp_path_factory):
+    d = tmp_path_factory.mktemp("binlog")
+    events = datagen.generate_events(SPEC)
+    stream = datagen.arrival_order(events, SPEC)
+    paths = datagen.write_binlog(stream, str(d), n_segments=6)
+    return {"dir": str(d), "paths": paths, "events": events}
+
+
+def _final_state(spark, table) -> pd.DataFrame:
+    return (
+        read_transcripts(spark, table)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def _assert_matches_oracle(spark, pipe, events):
+    got = _final_state(spark, pipe.table)
+    want = datagen.expected_state(events)
+    pd.testing.assert_frame_equal(
+        got.astype({"turn_idx": "int64"}),
+        want.astype({"turn_idx": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_batch_replay_matches_oracle(spark, tmp_path, binlog):
+    """Apply all segments as one batch; final state == pandas oracle."""
+    pipe = CdcPipeline(spark, binlog["dir"], str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=8, text_mode="none")
+    pipe.replay_batch(binlog["dir"], "all")
+    _assert_matches_oracle(spark, pipe, binlog["events"])
+
+
+def test_incremental_equals_one_shot_and_batching_insensitive(spark, tmp_path, binlog):
+    """Segment-at-a-time replay (out-of-order, duplicated arrivals split
+    across arbitrary batch boundaries) converges to the same state."""
+    pipe = CdcPipeline(spark, binlog["dir"], str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=8, text_mode="none")
+    for i, p in enumerate(binlog["paths"]):
+        pipe.replay_batch(p, f"seg-{i}")
+    _assert_matches_oracle(spark, pipe, binlog["events"])
+    # different batching: reversed pairs of segments into a second table
+    pipe2 = CdcPipeline(spark, binlog["dir"], str(tmp_path / "t2"), str(tmp_path / "ck2"),
+                        n_buckets=8, text_mode="none")
+    rev = list(reversed(binlog["paths"]))
+    for i in range(0, len(rev), 2):
+        pipe2.replay_batch(rev[i : i + 2], f"pair-{i}")
+    pd.testing.assert_frame_equal(_final_state(spark, pipe.table), _final_state(spark, pipe2.table))
+
+
+def test_exactly_once_refire_batch(spark, tmp_path, binlog):
+    """Re-firing an applied batch_id leaves version + state unchanged."""
+    pipe = CdcPipeline(spark, binlog["dir"], str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=8, text_mode="none")
+    m1 = pipe.replay_batch(binlog["paths"][0], "seg-0")
+    assert m1["committed"] is True
+    v = pipe.table.current_version()
+    before = _final_state(spark, pipe.table)
+    m2 = pipe.replay_batch(binlog["paths"][0], "seg-0")
+    assert m2["committed"] is False
+    assert pipe.table.current_version() == v
+    pd.testing.assert_frame_equal(before, _final_state(spark, pipe.table))
+
+
+def test_delete_semantics(spark, tmp_path):
+    """Tombstone kills older turns; re-insert after delete survives; a
+    late-arriving pre-delete event stays dead."""
+    rows = [
+        # lsn, op, conv, turns
+        (1, "insert", "cA", [(0, "user", "hello", None), (1, "assistant", "hi", None)]),
+        (2, "insert", "cB", [(0, "user", "keep me", None)]),
+        (3, "delete", "cA", None),
+        (4, "insert", "cA", [(0, "user", "reborn", None)]),
+    ]
+    late = [(2, "insert", "cA", [(5, "user", "late pre-delete", None)])]  # lsn 2 < delete lsn 3
+
+    def env_df(rws):
+        ts = pd.Timestamp("2026-01-01")
+        data = [
+            (
+                lsn,
+                ts.to_pydatetime(),
+                op,
+                cid,
+                None if turns is None else {"turns": [
+                    {"turn_idx": i, "role": r, "text": t, "tool": tool, "ts": ts.to_pydatetime()}
+                    for (i, r, t, tool) in turns
+                ]},
+            )
+            for (lsn, op, cid, turns) in rws
+        ]
+        return spark.createDataFrame(data, envelope_schema())
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=4, text_mode="none")
+    pipe.apply_batch(env_df(rows), "b1")
+    pipe.apply_batch(env_df(late), "b2")  # must NOT resurrect cA turn 5
+    got = {
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in read_transcripts(spark, pipe.table).collect()
+    }
+    assert got == {("cA", 0, "reborn"), ("cB", 0, "keep me")}
+
+
+def test_schema_evolution_widens_target(spark, tmp_path):
+    """F6b: late events carry an additive turn field → the target table is
+    widened before merge; earlier rows read as null."""
+    spec_old = datagen.BinlogSpec(n_events=60, n_convs=6, seed=11, delete_rate=0.0)
+    spec_new = datagen.BinlogSpec(n_events=60, n_convs=6, seed=12, delete_rate=0.0, evolve_after=0)
+    old_events = datagen.generate_events(spec_old)
+    new_events = datagen.generate_events(spec_new)
+    new_events["lsn"] = new_events["lsn"] + 1000
+    d_old, d_new = str(tmp_path / "old"), str(tmp_path / "new")
+    datagen.write_binlog(old_events.rename(columns={}), d_old, n_segments=1)
+    datagen.write_binlog(new_events, d_new, n_segments=1, evolved=True)
+
+    pipe = CdcPipeline(spark, d_old, str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=4, text_mode="none")
+    pipe.replay_batch(d_old, "b-old")
+    assert "model" not in pipe.table.schema().fieldNames()
+
+    evolved_env = envelope_schema([T.StructField("model", T.StringType(), True)])
+    env = spark.read.schema(evolved_env).parquet(d_new)
+    pipe.apply_batch(env, "b-new")
+    assert "model" in pipe.table.schema().fieldNames()
+
+    out = read_transcripts(spark, pipe.table)
+    assert "model" in out.columns
+    n_new = out.where(F.col("model").isNotNull()).count()
+    n_old = out.where(F.col("model").isNull()).count()
+    assert n_new > 0 and n_old > 0
+
+
+def test_lineage_records(spark, tmp_path, binlog):
+    pipe = CdcPipeline(spark, binlog["dir"], str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=8, text_mode="none")
+    for i, p in enumerate(binlog["paths"][:3]):
+        pipe.replay_batch(p, f"seg-{i}")
+    entries = pipe.lineage.entries()
+    assert len(entries) == 3
+    assert all({"batch_id", "rows_written", "buckets", "max_lsn", "table_version"} <= set(e) for e in entries)
+    assert pipe.lineage.applied_lsn_watermark() is not None
+
+
+def test_arrow_normalize_text(spark, tmp_path):
+    """The vectorized Arrow normalize path cleans whitespace/control chars
+    and matches the builtin-column path on plain input."""
+    ts = pd.Timestamp("2026-01-01").to_pydatetime()
+    data = [
+        (1, ts, "insert", "cA",
+         {"turns": [{"turn_idx": 0, "role": "user", "text": "  hello\t\tworld \x00!", "tool": None, "ts": ts}]})
+    ]
+    env = spark.createDataFrame(data, envelope_schema())
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=2, text_mode="arrow")
+    pipe.apply_batch(env, "b1")
+    (row,) = read_transcripts(spark, pipe.table).collect()
+    assert row["text"] == "hello world !"

@@ -1,0 +1,132 @@
+"""SnapshotTable ("icelite") semantics: atomicity, idempotence, evolution,
+time travel, orphan tolerance (SURVEY.md §7.1 M1)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from hierarchical_to_relational_spark.table import SnapshotTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.IntegerType(), True),
+    ]
+)
+
+
+def _bucketed(spark, table, rows):
+    df = spark.createDataFrame(rows, "k string, v int")
+    return df.withColumn("_bucket", table.bucket_col()(F.col("k")))
+
+
+def _buckets(df):
+    return sorted(r[0] for r in df.select("_bucket").distinct().collect())
+
+
+def test_create_and_first_commit(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    assert t.current_version() == 0
+    assert t.read(spark).count() == 0
+
+    df = _bucketed(spark, t, [("a", 1), ("b", 2), ("c", 3)])
+    assert t.commit_overwrite_buckets(df, _buckets(df), "b1") is True
+    out = t.read(spark)
+    assert {tuple(r) for r in out.select("k", "v").collect()} == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_idempotent_commit_same_batch_id(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    df = _bucketed(spark, t, [("a", 1)])
+    assert t.commit_overwrite_buckets(df, _buckets(df), "b1") is True
+    v = t.current_version()
+    # replaying the same batch must be a no-op (exactly-once primitive)
+    df2 = _bucketed(spark, t, [("a", 999)])
+    assert t.commit_overwrite_buckets(df2, _buckets(df2), "b1") is False
+    assert t.current_version() == v
+    assert t.read(spark).select("v").collect()[0][0] == 1
+
+
+def test_copy_on_write_only_affected_buckets(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=8)
+    df = _bucketed(spark, t, [(f"k{i}", i) for i in range(20)])
+    t.commit_overwrite_buckets(df, _buckets(df), "b1")
+    live_before = dict(t.snapshot()["live"])
+
+    upd = _bucketed(spark, t, [("k0", 100)])
+    (b0,) = _buckets(upd)
+    t.commit_overwrite_buckets(upd, [b0], "b2")
+    live_after = dict(t.snapshot()["live"])
+    # only k0's bucket re-pointed; all others untouched
+    changed = {b for b in live_before if live_before[b] != live_after.get(b)}
+    assert changed == {str(b0)}
+    # pruned read of one bucket only sees that bucket's rows
+    pruned = t.read(spark, buckets=[b0])
+    assert ("k0", 100) in {tuple(r) for r in pruned.select("k", "v").collect()}
+
+
+def test_bucket_emptied_is_dropped(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    df = _bucketed(spark, t, [("a", 1)])
+    (b,) = _buckets(df)
+    t.commit_overwrite_buckets(df, [b], "b1")
+    empty = spark.createDataFrame([], df.schema)
+    t.commit_overwrite_buckets(empty, [b], "b2")
+    assert t.read(spark).count() == 0
+
+
+def test_orphan_files_invisible(spark, tmp_path):
+    """Crash between data write and snapshot commit → orphan files that no
+    snapshot references; reads never see them."""
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    df = _bucketed(spark, t, [("a", 1)])
+    t.commit_overwrite_buckets(df, _buckets(df), "b1")
+    # simulate a crashed writer: data lands, snapshot never created
+    orphan_dir = os.path.join(t.root, "data", "c-orphan")
+    _bucketed(spark, t, [("zz", 999)]).write.partitionBy("_bucket").parquet(orphan_dir)
+    assert glob.glob(os.path.join(orphan_dir, "_bucket=*"))
+    out = {tuple(r) for r in t.read(spark).select("k", "v").collect()}
+    assert out == {("a", 1)}
+
+
+def test_additive_evolution_and_null_fill(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    df = _bucketed(spark, t, [("a", 1)])
+    t.commit_overwrite_buckets(df, _buckets(df), "b1")
+
+    assert t.evolve([T.StructField("w", T.StringType(), True)], "b2") is True
+    assert t.schema().fieldNames() == ["k", "v", "w"]
+    # old files read with the new column null-filled
+    row = t.read(spark).select("k", "v", "w").collect()[0]
+    assert tuple(row) == ("a", 1, None)
+    # evolution is idempotent on batch_id too
+    assert t.evolve([T.StructField("w2", T.StringType(), True)], "b2") is False
+
+    wide = spark.createDataFrame([("b", 2, "x")], "k string, v int, w string")
+    wide = wide.withColumn("_bucket", t.bucket_col()(F.col("k")))
+    t.commit_overwrite_buckets(wide, _buckets(wide), "b3")
+    out = {tuple(r) for r in t.read(spark).select("k", "v", "w").collect()}
+    assert out == {("a", 1, None), ("b", 2, "x")}
+
+
+def test_non_additive_evolution_rejected(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    df = _bucketed(spark, t, [("a", 1)])
+    narrower = T.StructType([T.StructField("k", T.StringType(), False)])
+    with pytest.raises(ValueError, match="additive"):
+        t.commit_overwrite_buckets(df, _buckets(df), "b1", new_schema=narrower)
+
+
+def test_time_travel(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    d1 = _bucketed(spark, t, [("a", 1)])
+    t.commit_overwrite_buckets(d1, _buckets(d1), "b1")
+    v1 = t.current_version()
+    d2 = _bucketed(spark, t, [("a", 2)])
+    t.commit_overwrite_buckets(d2, _buckets(d2), "b2")
+    assert t.read(spark).select("v").collect()[0][0] == 2
+    assert t.read(spark, version=v1).select("v").collect()[0][0] == 1
