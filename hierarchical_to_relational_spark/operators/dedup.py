@@ -1,0 +1,211 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (the point of each variant):
+
+- **exact**: one hash aggregation on a content digest — md5(text) groups,
+  keep the minimum id. Shuffles digests, not documents.
+- **n-gram Jaccard**: exact pairwise similarity via an inverted index
+  (doc → distinct shingles → self-join on shingle). Cost is O(postings²)
+  per shingle — correct but quadratic in hot shingles; it is the
+  *verification* stage, run on candidate subsets, not the whole corpus.
+- **MinHash + LSH**: the scale path. k permutations are simulated with
+  salted md5 (portable: identical in DuckDB for the oracle); signatures are
+  banded and candidates join on band buckets — cost O(docs × k) + bucket
+  joins, linear-ish, no all-pairs.
+- **SimHash**: per-doc 16-nibble locality-sensitive fingerprint from
+  token-hash majority votes; near-dups share fingerprints (or band
+  thereof). One aggregation over exploded tokens.
+- **embedding cosine**: exact top-candidate filter over vector pairs; see
+  operators.similarity for the ANN/LSH variant.
+
+Everything is Column algebra — explode/aggregate/join — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hierarchical_to_relational_spark.operators.text import shingle_array
+
+
+# ---------- exact ----------
+
+def dedup_exact(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """Keep one row (minimum id) per exact content group; adds
+    ``dup_count``. Digest-based: shuffles md5 hashes, not payloads."""
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    return (
+        df.select(F.col(id_col), digest.alias("_digest"))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_digest")
+    )
+
+
+# ---------- n-gram Jaccard ----------
+
+def shingle_postings(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """(id, shingle) inverted-index postings, distinct per doc."""
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingle_array(text_col, k))).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (id1 < id2, J ≥ threshold) via a
+    shingle self-join: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|."""
+    post = shingle_postings(df, id_col, text_col, k)
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = post.alias("a")
+    b = post.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sz1, "id1")
+        .join(sz2, "id2")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------- MinHash + LSH ----------
+
+def minhash_signature(text_col: Column | str, n_hashes: int = 16, k: int = 5) -> Column:
+    """Array of n MinHash values. Permutation i is simulated by
+    min(md5(shingle || ':' || i)) over the doc's shingles — the
+    lexicographic min of a salted cryptographic hash is an unbiased MinHash
+    and is bit-identical in any engine with md5 (the DuckDB oracle)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    sh = F.array_distinct(shingle_array(c, k))
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f":{i}")))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """(id, band, bucket) rows: the signature split into ``bands`` equal
+    bands, each hashed to a bucket id. Docs sharing any (band, bucket) are
+    near-dup candidates."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(text_col, n_hashes, k).alias("_sig")
+    d = df.select(F.col(id_col), sig)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket")))
+    return d.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Distinct candidate pairs (id1 < id2) sharing ≥1 LSH band bucket.
+    Feed into ngram_jaccard_pairs on the candidate subset to verify."""
+    bb = minhash_band_buckets(df, id_col, text_col, n_hashes, bands, k)
+    a, b = bb.alias("a"), bb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+
+
+# ---------- SimHash ----------
+
+HEX_NIBBLE = "0123456789abcdef"
+
+
+def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, sim_bits: int = 16) -> DataFrame:
+    """Per-doc SimHash-style fingerprint: tokens vote per nibble position
+    of md5(token); positions where the mean nibble value exceeds the
+    neutral 7.5 become '1'. Emits (id, simhash) with a ``sim_bits``-char
+    bitstring. One explode + one aggregation; portable arithmetic
+    (strpos on hex chars) so the oracle matches bit-for-bit."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.md5(F.col("tok"))
+    nib_vals = [
+        (F.instr(F.lit(HEX_NIBBLE), F.substring(h, i + 1, 1)) - 1).alias(f"n{i}")
+        for i in range(sim_bits)
+    ]
+    votes = toks.select(id_col, *nib_vals).groupBy(id_col).agg(
+        *[F.avg(f"n{i}").alias(f"n{i}") for i in range(sim_bits)]
+    )
+    bits = F.concat(*[F.when(F.col(f"n{i}") > 7.5, F.lit("1")).otherwise(F.lit("0")) for i in range(sim_bits)])
+    return votes.select(F.col(id_col), bits.alias("simhash"))
+
+
+# ---------- embedding cosine near-dup ----------
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns (JVM higher-order
+    functions — no Python)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Pairs (id1 < id2) with cosine ≥ threshold. All-pairs within optional
+    blocking column (pass an LSH bucket / label to avoid the full cross
+    join at scale)."""
+    d = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"),
+                  *( [block_col.alias("_blk")] if block_col is not None else [] ))
+    a, b = d.alias("a"), d.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col is not None:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id1", "id2", F.round("cos", 6).alias("cos"))
+    )

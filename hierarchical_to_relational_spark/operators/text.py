@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in Column algebra (JVM-side, whole-stage
+codegen) — the reference's zero-UDF discipline (SURVEY.md §2.1) applied to
+corpus analytics: language-ID (stopword-hit heuristic), quality scoring
+(length / punctuation / stopword ratios), token counting (whitespace and a
+BPE-ish regex), and rolling-hash document fingerprinting.
+
+Each helper returns a Column so callers compose them into one projection —
+a single scan pass over the corpus, no shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+# Kept RE2-compatible so the DuckDB oracle uses the identical pattern.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# language → high-frequency stopwords (n-gram heuristic); alternation kept
+# RE2/Java-regex portable.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "y", "los", "una", "es", "en", "que", "por", "con"],
+}
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish regex pre-tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-space characters that are not alphanumeric."""
+    c = F.col(col) if isinstance(col, str) else col
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(nonspace == 0, F.lit(0.0)).otherwise(punct / nonspace)
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """Count of stopword occurrences (word-bounded) for a language."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 0))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    toks = ws_token_count(c)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(stopword_hits(c, lang) / toks)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language by stopword hits; deterministic tiebreak by language
+    code order; 'und' when no hits."""
+    c = F.col(col) if isinstance(col, str) else col
+    langs = sorted(LANG_STOPWORDS)
+    hits = {lg: stopword_hits(c, lg) for lg in langs}
+    best = F.greatest(*[hits[lg] for lg in langs])
+    expr = F.lit("und")
+    # first language (alphabetical) achieving the max wins; build backwards
+    for lg in reversed(langs):
+        expr = F.when(hits[lg] == best, F.lit(lg)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def quality_score(col: Column | str, lang: str = "en") -> Column:
+    """Heuristic document-quality score in [0, 1]: rewards reasonable
+    length and stopword density, penalizes punctuation soup."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = ws_token_count(c).cast("double")
+    len_score = F.least(toks / F.lit(100.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio(c, lang) * 2.5, F.lit(1.0))
+    p_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 2.0)
+    return (len_score * 0.3 + sw_score * 0.4 + p_penalty * 0.3)
+
+
+def shingle_array(col: Column | str, k: int = 5) -> Column:
+    """Array of overlapping character k-shingles (empty when len < k)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(0))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(c, i, F.lit(k)))
+
+
+def rolling_fingerprint(col: Column | str, k: int = 8) -> Column:
+    """Rolling-hash document fingerprint: the lexicographic minimum of
+    md5(shingle) over all k-shingles (one-permutation MinHash — a stable
+    content fingerprint robust to reordering of large blocks). Documents
+    shorter than k hash the whole text."""
+    c = F.col(col) if isinstance(col, str) else col
+    mins = F.array_min(F.transform(shingle_array(c, k), lambda s: F.md5(s)))
+    return F.coalesce(mins, F.md5(c))
+
+
+def profile_documents(df: DataFrame, text_col: str = "text", lang: str = "en") -> DataFrame:
+    """One-pass corpus profile: token counts, ratios, language, quality,
+    fingerprint appended as columns (single scan, zero shuffles)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        ws_token_count(c).alias("n_tokens_ws"),
+        bpe_ish_token_count(c).alias("n_tokens_bpe"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c, lang), 6).alias("stopword_ratio"),
+        lang_id(c).alias("lang_guess"),
+        F.round(quality_score(c, lang), 6).alias("quality"),
+        rolling_fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,104 @@
+"""Dedup + similarity operator tests: exact, Jaccard, MinHash-LSH, SimHash,
+embedding cosine, brute-force and LSH ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hierarchical_to_relational_spark.operators import dedup as dd
+from hierarchical_to_relational_spark.operators import similarity as sim
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOCS = [
+    (1, BASE),
+    (2, BASE),  # exact dup of 1
+    (3, BASE.replace("lazy", "sleepy")),  # near dup of 1
+    (4, "completely unrelated text about spark shuffles and partitions at scale"),
+    (5, "another unrelated document mentioning merge trees and snapshots"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_dedup_exact(spark):
+    out = dd.dedup_exact(_docs(spark), "doc_id", ["text"])
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert rows[1] == 2      # doc 2 collapsed into 1 (min id kept)
+    assert 2 not in rows
+    assert rows[3] == 1 and rows[4] == 1 and rows[5] == 1
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = dd.ngram_jaccard_pairs(_docs(spark), "doc_id", "text", k=5, threshold=0.5)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical
+    assert (1, 3) in got and (2, 3) in got  # near dup
+    assert all(p not in got for p in [(1, 4), (1, 5), (4, 5)])
+    j = {(r["id1"], r["id2"]): r["jaccard"] for r in pairs.collect()}
+    assert j[(1, 2)] == 1.0
+
+
+def test_minhash_lsh_candidates(spark):
+    cands = dd.minhash_lsh_pairs(_docs(spark), "doc_id", "text", n_hashes=16, bands=4, k=5)
+    got = {(r["id1"], r["id2"]) for r in cands.collect()}
+    assert (1, 2) in got  # identical docs always collide in every band
+    assert (1, 3) in got  # high-jaccard pair lands in ≥1 band w.h.p. (deterministic here)
+    assert (4, 5) not in got
+
+
+def test_minhash_then_verify_pipeline(spark):
+    """The scale pattern: LSH candidates → exact Jaccard verification."""
+    docs = _docs(spark)
+    cands = dd.minhash_lsh_pairs(docs, "doc_id", "text")
+    verified = dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).join(
+        cands, ["id1", "id2"], "left_semi"
+    )
+    got = {(r["id1"], r["id2"]) for r in verified.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_simhash_fingerprint(spark):
+    out = dd.simhash_fingerprint(_docs(spark), "doc_id", "text")
+    rows = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    assert rows[1] == rows[2]
+    assert len(rows[1]) == 16 and set(rows[1]) <= {"0", "1"}
+    ham_13 = sum(a != b for a, b in zip(rows[1], rows[3]))
+    ham_14 = sum(a != b for a, b in zip(rows[1], rows[4]))
+    assert ham_13 < ham_14  # near dup closer than unrelated
+
+
+def _vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_embedding_near_dup(spark):
+    out = dd.embedding_near_dup_pairs(_vectors(spark), "vec_id", "embedding", threshold=0.95)
+    got = {(r["id1"], r["id2"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_brute_force_topk(spark):
+    v = _vectors(spark)
+    out = sim.brute_force_topk(v.where(F.col("vec_id") == 1), v, k=2)
+    rows = sorted((r["rank"], r["neighbor_id"]) for r in out.collect())
+    assert rows == [(1, 2), (2, 5)]
+
+
+def test_lsh_topk_subset_of_brute(spark):
+    """LSH results are a subset of brute-force candidates with ranks
+    consistent on the candidates it does see; identical-direction vectors
+    share a bucket."""
+    v = _vectors(spark)
+    out = sim.lsh_topk(v.where(F.col("vec_id") == 1), v, k=3, n_planes=2)
+    got = {r["neighbor_id"] for r in out.collect()}
+    assert 2 in got  # near-identical vector must share the sign bucket

@@ -1,0 +1,77 @@
+"""Text-analysis operator tests (token counting, ratios, lang-ID,
+fingerprints) on small synthetic docs with known properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hierarchical_to_relational_spark.operators import text as tx
+
+
+DOCS = [
+    (1, "the cat and the dog sat of the mat in it"),
+    (2, "der Hund und die Katze ist nicht mit das"),
+    (3, "!!! ??? ###"),
+    (4, ""),
+    (5, "le chat et la maison dans les jardins est une"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_token_counts(spark):
+    rows = {r["doc_id"]: r for r in _df(spark).select(
+        "doc_id",
+        tx.ws_token_count("text").alias("ws"),
+        tx.bpe_ish_token_count("text").alias("bpe"),
+    ).collect()}
+    assert rows[1]["ws"] == 11
+    assert rows[4]["ws"] == 0
+    assert rows[3]["ws"] == 3
+    assert rows[3]["bpe"] == 9  # each punct char is its own token
+
+
+def test_punct_ratio_bounds(spark):
+    rows = {r["doc_id"]: r["p"] for r in _df(spark).select("doc_id", tx.punct_ratio("text").alias("p")).collect()}
+    assert rows[3] == 1.0
+    assert rows[1] == 0.0
+    assert rows[4] == 0.0
+
+
+def test_lang_id(spark):
+    rows = {r["doc_id"]: r["lang"] for r in _df(spark).select("doc_id", tx.lang_id("text").alias("lang")).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "de"
+    assert rows[5] == "fr"
+    assert rows[3] == "und"
+    assert rows[4] == "und"
+
+
+def test_quality_score_ordering(spark):
+    rows = {r["doc_id"]: r["q"] for r in _df(spark).select("doc_id", tx.quality_score("text").alias("q")).collect()}
+    assert rows[1] > rows[3]  # real prose beats punctuation soup
+    assert 0.0 <= min(rows.values()) and max(rows.values()) <= 1.0
+
+
+def test_rolling_fingerprint_stability(spark):
+    """Same content → same fingerprint; different content → different;
+    short docs fall back to whole-text hash."""
+    df = spark.createDataFrame(
+        [(1, "hello world this is a doc"), (2, "hello world this is a doc"), (3, "completely different"), (4, "abc")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r["fp"] for r in df.select("doc_id", tx.rolling_fingerprint("text").alias("fp")).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    assert rows[4] is not None
+
+
+def test_profile_single_pass(spark):
+    out = tx.profile_documents(_df(spark))
+    assert {"n_tokens_ws", "n_tokens_bpe", "punct_ratio", "stopword_ratio", "lang_guess", "quality", "fingerprint"} <= set(out.columns)
+    assert out.count() == len(DOCS)
+    # single scan, no exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
