@@ -1,38 +1,753 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC ingest on sf0.001 (envelopes derived from
+the events table → normalize → LWW merge → snapshot-table read).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data-pipeline ops; every query has a DuckDB
+oracle unless marked rows-only. All float-producing queries are designed
+for bit-identical results across engines: exact decimal sums cast to
+double, integer-quantized vector arithmetic, division of exact integers.
+Columns are aliased identically (lowercase) on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
+from hierarchical_to_relational_spark import FlattenConfig, flatten
+from hierarchical_to_relational_spark.operators import dedup as dd
+from hierarchical_to_relational_spark.operators import text as tx
+from hierarchical_to_relational_spark.operators.text import LANG_STOPWORDS
+from hierarchical_to_relational_spark.operators.merge import (
+    apply_cdc_batch,
+    lww_latest,
+    merge_lww,
+    read_transcripts,
+)
+from hierarchical_to_relational_spark.operators.normalize import normalize_envelopes
+from hierarchical_to_relational_spark.table import SnapshotTable
+from hierarchical_to_relational_spark.operators.merge import table_schema_for
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# hierarchy edges shared by the flatten queries: region→nation→supplier
+# ---------------------------------------------------------------------------
+
+def _hier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, region, supplier = (_t(spark, sf_dir, n) for n in ("nation", "region", "supplier"))
+    rn = nation.join(region, nation["n_regionkey"] == region["r_regionkey"]).select(
+        F.concat(F.lit("R"), F.col("r_regionkey")).alias("parent"),
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("child"),
+        F.col("n_name").alias("name"),
+    )
+    ns = supplier.select(
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("parent"),
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("child"),
+        F.col("s_name").alias("name"),
+    )
+    return rn.unionByName(ns)
+
+
+_HIER_EDGES_SQL = """
+    SELECT 'R' || r_regionkey AS parent, 'N' || n_nationkey AS child, n_name AS name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    UNION ALL
+    SELECT 'N' || s_nationkey, 'S' || s_suppkey, s_name FROM supplier
+"""
+
+
+def _flatten_oracle(seed_filter: str, sep: str) -> str:
+    """WITH RECURSIVE DuckDB oracle replicating flatten semantics
+    (HierarchyFlattener.java:127-351): every edge seeds (minus self-loops,
+    optionally filtered), each edge re-emitted per distinct depth, bottom =
+    child has no outgoing edges, min path + its root per group."""
+    return f"""
+    WITH RECURSIVE edges AS ({_HIER_EDGES_SQL}),
+    walk AS (
+        SELECT parent, child, 1 AS level, '{sep}' || name AS path, name AS root
+        FROM edges WHERE parent <> child {seed_filter}
+        UNION ALL
+        SELECT e.parent, e.child, w.level + 1, w.path || '{sep}' || e.name, w.root
+        FROM walk w JOIN edges e ON w.child = e.parent
+    )
+    SELECT w.parent, w.child, w.level,
+           NOT EXISTS (SELECT 1 FROM edges e2 WHERE e2.parent = w.child) AS bottom,
+           min(w.path) AS path,
+           arg_min(w.root, w.path) AS root
+    FROM walk w
+    GROUP BY w.parent, w.child, w.level
+    """
+
+
+def q_flatten_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = FlattenConfig(
+        parent_field="parent", child_field="child",
+        level_field="level", bottom_field="bottom",
+        path_field="name", path_alias_field="path",
+        connect_by_root="name=root",
+    )
+    out = flatten(_hier_edges(spark, sf_dir), cfg)
+    return out.select("parent", "child", "level", "bottom", "path", "root")
+
+
+def q_flatten_startwith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = FlattenConfig(
+        parent_field="parent", child_field="child",
+        level_field="level", bottom_field="bottom",
+        path_field="name", path_alias_field="path", path_separator="|",
+        start_with="parent IN ('R0', 'R2')",
+        connect_by_root="name=root",
+    )
+    out = flatten(_hier_edges(spark, sf_dir), cfg)
+    return out.select("parent", "child", "level", "bottom", "path", "root")
+
+
+# ---------------------------------------------------------------------------
+# CDC / merge family (events table as the change stream; event_id = LSN)
+# ---------------------------------------------------------------------------
+
+def q_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW dedup: latest event per (user_id, event_type) by (ts, event_id) —
+    the merge stage's core dedup (replaces reference O17's groupBy idiom)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id", "value")
+    return lww_latest(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational MERGE: source (late half) upserts over target (early half)
+    keyed by user_id, LWW on (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    target = lww_latest(ev.where(F.col("event_id") % 2 == 0), ["user_id"], ["ts", "event_id"])
+    source = ev.where(F.col("event_id") % 2 == 1)
+    return merge_lww(target, source, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+def q_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone semantics relationally: 'error' events delete the whole
+    user stream at their LSN; latest upsert per (user, type) survives only
+    past the watermark."""
+    ev = _t(spark, sf_dir, "events")
+    ups = lww_latest(
+        ev.where(F.col("event_type") != "error").select("user_id", "event_type", "event_id", "value"),
+        ["user_id", "event_type"], ["event_id"],
+    )
+    dels = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id").agg(F.max("event_id").alias("del_lsn"))
+    )
+    return (
+        ups.join(dels, "user_id", "left")
+        .where(F.col("del_lsn").isNull() | (F.col("event_id") > F.col("del_lsn")))
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+def q_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-envelope → relational flattening: pack each user's events into
+    one envelope (array of turn structs), explode back out. The engine's
+    hierarchical→relational normalize in pure Column algebra."""
+    ev = _t(spark, sf_dir, "events")
+    packed = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type", "props"))).alias("turns"))
+    )
+    return (
+        packed.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.posexplode("turns").alias("pos", "t"),
+        )
+        .select(
+            "conv_id",
+            (F.col("pos") + 1).cast("int").alias("turn_idx"),
+            F.col("t.event_type").alias("role"),
+            F.col("t.props").alias("text"),
+        )
+    )
+
+
+def _mk_envelopes(ev: DataFrame) -> DataFrame:
+    """events → CDC envelopes: one per event; 'error' → whole-user delete;
+    turn_idx = event_id % 7 (forces LWW overwrites); lsn = event_id."""
+    turn = F.struct(
+        (F.col("event_id") % 7).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").alias("ts"),
+    )
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("ts").alias("commit_ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(F.lit("insert")).alias("op"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.struct(F.array(turn).alias("turns")))
+        .alias("payload"),
+    )
+
+
+def _run_cdc(spark: SparkSession, sf_dir: str, n_batches: int = 3, n_buckets: int = 8) -> DataFrame:
+    """Full engine path: envelopes → normalize → bucketed LWW merge with
+    tombstones → idempotent snapshot commits → table read. Batches split by
+    event_id % n (interleaved LSNs ⇒ every batch is out-of-order relative
+    to the log — convergence is the point)."""
+    env = _mk_envelopes(_t(spark, sf_dir, "events"))
+    root = tempfile.mkdtemp(prefix="h2r-cdc-")
+    turn_cols = [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+    table = SnapshotTable.create(os.path.join(root, "transcripts"), table_schema_for(turn_cols), n_buckets)
+    for b in range(n_batches):
+        batch = env.where(F.col("lsn") % n_batches == b)
+        upserts, deletes = normalize_envelopes(batch, text_mode="none")
+        apply_cdc_batch(spark, table, upserts, deletes, batch_id=f"replay-{b}")
+    return read_transcripts(spark, table).select("conv_id", "turn_idx", "role", "text", "ts")
+
+
+def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_cdc(spark, sf_dir)
+
+
+_CDC_REPLAY_ORACLE = """
+    WITH ups AS (
+        SELECT 'u' || user_id AS conv_id,
+               CAST(event_id % 7 AS INTEGER) AS turn_idx,
+               event_type AS role, props AS text, ts, event_id AS lsn,
+               row_number() OVER (PARTITION BY user_id, event_id % 7
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type <> 'error'
+    ),
+    dels AS (
+        SELECT 'u' || user_id AS conv_id, max(event_id) AS del_lsn
+        FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT u.conv_id, u.turn_idx, u.role, u.text, u.ts
+    FROM ups u LEFT JOIN dels d ON u.conv_id = d.conv_id
+    WHERE u.rn = 1 AND (d.del_lsn IS NULL OR u.lsn > d.del_lsn)
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational coverage: aggregation, joins, windows, set ops, strings/dates
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape; exact decimal sums cast to double (bit-identical
+    across engines, unlike float accumulation order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order", "n_orders")
+    )
+
+
+def q_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dims: revenue + customers per region."""
+    orders, customer, nation, region = (
+        _t(spark, sf_dir, n) for n in ("orders", "customer", "nation", "region")
+    )
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins: per nation, customers with vs without orders."""
+    customer, orders, nation = (_t(spark, sf_dir, n) for n in ("customer", "orders", "nation"))
+    with_orders = customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_semi")
+    without = customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_anti")
+    agg_w = with_orders.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_with")).withColumnRenamed("c_nationkey", "k_w")
+    agg_wo = without.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_without")).withColumnRenamed("c_nationkey", "k_wo")
+    return (
+        nation.join(agg_w, nation["n_nationkey"] == agg_w["k_w"], "left")
+        .join(agg_wo, nation["n_nationkey"] == agg_wo["k_wo"], "left")
+        .select(
+            "n_name",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (row_number window, deterministic ties)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank", "o_totalprice")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — the batch equivalent of a
+    session window, exact-integer time arithmetic (unix micros)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # parquet reads ts as NTZ; session TZ is UTC
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    )
+    sid = F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marked.withColumn("session_id", sid)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+    )
+
+
+def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows: event counts + distinct users per type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) customer counts — hierarchical aggregates."""
+    customer, nation, region = (_t(spark, sf_dir, n) for n in ("customer", "nation", "region"))
+    joined = (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def q_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: EXCEPT + INTERSECT over early-window click/purchase users."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        clicks.exceptAll(buys).distinct().withColumn("op", F.lit("except"))
+        .unionByName(clicks.intersect(buys).withColumn("op", F.lit("intersect")))
+        .select("user_id", "op")
+    )
+
+
+def q_string_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date function coverage: extraction, parsing, formatting."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.expr("CAST(split_part(o_orderpriority, '-', 1) AS INT)").alias("priority_code"),
+        F.concat_ws("#", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_key"),
+        F.length("o_orderpriority").alias("prio_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.dedup_exact(_t(spark, sf_dir, "documents"), "doc_id", ["text"])
+
+
+def q_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.4)
+
+
+def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=16, bands=4, k=5)
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _quantized(df: DataFrame, scale: int = 10000) -> DataFrame:
+    """float vectors → exact integer vectors (floor(x*scale)): integer dot
+    products are order-independent ⇒ bit-identical across engines."""
+    return df.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * scale).cast("long")).alias("q"),
+    )
+
+
+def _int_cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    na = F.aggregate(a, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    nb = F.aggregate(b, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-dup on a vec_id-sampled subset (quantized)."""
+    v = _quantized(_t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            _int_cosine(F.col("a.q"), F.col("b.q")).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.4)
+        .select("id1", "id2", F.round("cos", 6).alias("cos"))
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5 (exact ANN
+    baseline; quantized for cross-engine determinism)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = _quantized(emb)
+    q = v.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
+    c = v.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", _int_cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def q_text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.profile_documents(docs).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe", "punct_ratio", "stopword_ratio", "lang_guess", "quality", "fingerprint"
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing over synthesized blobs (text bytes stand in
+    for media content): byte length + sha256, all JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    return blobs.select(
+        "doc_id",
+        F.octet_length("content").alias("n_bytes"),
+        F.sha2("content", 256).alias("sha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay (normalize → merge → snapshot table) over
+    envelopes derived from sf0.001 events."""
+    return _run_cdc(spark, "/root/testdata/sf0.001", n_batches=3, n_buckets=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flatten_hier": q_flatten_hier,
+        "flatten_startwith": q_flatten_startwith,
+        "lww_latest": q_lww_latest,
+        "merge_upsert": q_merge_upsert,
+        "cdc_deletes": q_cdc_deletes,
+        "normalize_roundtrip": q_normalize_roundtrip,
+        "cdc_replay": q_cdc_replay,
+        "agg_pricing": q_agg_pricing,
+        "join_region_revenue": q_join_region_revenue,
+        "semi_anti_customers": q_semi_anti_customers,
+        "window_top_orders": q_window_top_orders,
+        "sessionize": q_sessionize,
+        "tumbling_counts": q_tumbling_counts,
+        "rollup_customers": q_rollup_customers,
+        "setops_users": q_setops_users,
+        "string_date_orders": q_string_date_orders,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "jaccard_docs": q_jaccard_docs,
+        "minhash_lsh_docs": q_minhash_lsh_docs,
+        "simhash_docs": q_simhash_docs,
+        "embed_near_dup": q_embed_near_dup,
+        "ann_topk": q_ann_topk,
+        "text_profile_docs": q_text_profile_docs,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_pats = {lg: r"\b(" + "|".join(ws) + r")\b" for lg, ws in LANG_STOPWORDS.items()}
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    nib = "0123456789abcdef"
+    sim_nibs = ",\n".join(
+        f"avg(strpos('{nib}', substr(h, {i + 1}, 1)) - 1) AS n{i}" for i in range(16)
+    )
+    sim_bits = " || ".join(f"(CASE WHEN n{i} > 7.5 THEN '1' ELSE '0' END)" for i in range(16))
+    minhash_mins = ",\n".join(f"min(md5(shingle || ':{i}')) AS m{i}" for i in range(16))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(m{b*4} || '|' || m{b*4+1} || '|' || m{b*4+2} || '|' || m{b*4+3}) AS bucket FROM sig"
+        for b in range(4)
+    )
+    return {
+        "flatten_hier": _flatten_oracle(seed_filter="", sep="/"),
+        "flatten_startwith": _flatten_oracle(seed_filter="AND parent IN ('R0','R2')", sep="|"),
+        "lww_latest": """
+            SELECT user_id, event_type, event_id, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts DESC, event_id DESC) rn
+                FROM events) WHERE rn = 1
+        """,
+        "merge_upsert": """
+            SELECT user_id, event_id, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC, event_id DESC) rn
+                FROM events) WHERE rn = 1
+        """,
+        "cdc_deletes": """
+            WITH ups AS (
+                SELECT user_id, event_type, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY event_id DESC) rn
+                FROM events WHERE event_type <> 'error'),
+            dels AS (SELECT user_id, max(event_id) del_lsn FROM events
+                     WHERE event_type = 'error' GROUP BY user_id)
+            SELECT u.user_id, u.event_type, u.event_id, u.value
+            FROM ups u LEFT JOIN dels d ON u.user_id = d.user_id
+            WHERE u.rn = 1 AND (d.del_lsn IS NULL OR u.event_id > d.del_lsn)
+        """,
+        "normalize_roundtrip": """
+            SELECT CAST(user_id AS VARCHAR) conv_id,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) turn_idx,
+                   event_type AS "role", props AS "text"
+            FROM events
+        """,
+        "cdc_replay": _CDC_REPLAY_ORACLE,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) sum_disc_price,
+                   count(*) count_order,
+                   count(DISTINCT l_orderkey) n_orders
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_region_revenue": """
+            SELECT r_name AS region,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) revenue,
+                   count(DISTINCT o_custkey) n_customers,
+                   count(*) n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "semi_anti_customers": """
+            WITH w AS (SELECT c_nationkey, count(*) n_with FROM customer
+                       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                       GROUP BY c_nationkey),
+                 wo AS (SELECT c_nationkey, count(*) n_without FROM customer
+                        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                        GROUP BY c_nationkey)
+            SELECT n_name, coalesce(w.n_with, 0) n_with, coalesce(wo.n_without, 0) n_without
+            FROM nation LEFT JOIN w ON n_nationkey = w.c_nationkey
+                        LEFT JOIN wo ON n_nationkey = wo.c_nationkey
+        """,
+        "window_top_orders": """
+            SELECT o_custkey, o_orderkey, rank, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) rank
+                FROM orders) WHERE rank <= 3
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            m AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END new_s
+                FROM g),
+            s AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) session_id
+                FROM m)
+            SELECT user_id, session_id, count(*) n_events, min(ts) start_ts, max(ts) end_ts
+            FROM s GROUP BY user_id, session_id
+        """,
+        "tumbling_counts": """
+            SELECT date_trunc('hour', ts) window_start, event_type,
+                   count(*) n_events, count(DISTINCT user_id) n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_customers": """
+            SELECT r_name, n_name, count(*) n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "setops_users": """
+            WITH clicks AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND event_id < 1000),
+                 buys AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND event_id < 1000)
+            SELECT user_id, 'except' AS op FROM (SELECT user_id FROM clicks EXCEPT SELECT user_id FROM buys)
+            UNION ALL
+            SELECT user_id, 'intersect' AS op FROM (SELECT user_id FROM clicks INTERSECT SELECT user_id FROM buys)
+        """,
+        "string_date_orders": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) o_year,
+                   CAST(month(o_orderdate) AS INT) o_month,
+                   CAST(split_part(o_orderpriority, '-', 1) AS INT) priority_code,
+                   o_orderstatus || '#' || o_orderpriority status_key,
+                   CAST(length(o_orderpriority) AS INT) prio_len
+            FROM orders
+        """,
+        "dedup_exact_docs": """
+            SELECT min(doc_id) doc_id, count(*) dup_count
+            FROM documents GROUP BY md5(CAST(text AS VARCHAR))
+        """,
+        "jaccard_docs": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            post AS (SELECT DISTINCT doc_id, shingle FROM (
+                     SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                                           i -> substr(text, CAST(i AS INT), 5))) AS shingle
+                     FROM d)),
+            sizes AS (SELECT doc_id, count(*) sz FROM post GROUP BY doc_id),
+            inter AS (SELECT a.doc_id id1, b.doc_id id2, count(*) inter
+                      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT id1, id2, round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) jaccard
+            FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+            WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.4
+        """,
+        "minhash_lsh_docs": f"""
+            WITH post AS (SELECT DISTINCT doc_id, shingle FROM (
+                          SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                                                i -> substr(text, CAST(i AS INT), 5))) AS shingle
+                          FROM documents)),
+            sig AS (SELECT doc_id, {minhash_mins} FROM post GROUP BY doc_id),
+            bands AS ({band_rows})
+            SELECT DISTINCT a.doc_id id1, b.doc_id id2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "simhash_docs": f"""
+            WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) tok
+                          FROM documents),
+            hs AS (SELECT doc_id, md5(tok) h FROM toks WHERE length(tok) > 0),
+            votes AS (SELECT doc_id, {sim_nibs} FROM hs GROUP BY doc_id)
+            SELECT doc_id, {sim_bits} AS simhash FROM votes
+        """,
+        "embed_near_dup": """
+            WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) q
+                       FROM embeddings WHERE vec_id % 5 = 0),
+            pairs AS (SELECT a.vec_id id1, b.vec_id id2, a.q qa, b.q qb
+                      FROM v a JOIN v b ON a.vec_id < b.vec_id),
+            scored AS (
+                SELECT id1, id2,
+                       CAST(list_sum(list_transform(list_zip(qa, qb), p -> p[1] * p[2])) AS DOUBLE) /
+                       (sqrt(CAST(list_sum(list_transform(qa, x -> x * x)) AS DOUBLE)) *
+                        sqrt(CAST(list_sum(list_transform(qb, x -> x * x)) AS DOUBLE))) cos
+                FROM pairs)
+            SELECT id1, id2, round(cos, 6) cos FROM scored WHERE cos >= 0.4
+        """,
+        "ann_topk": """
+            WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) q
+                       FROM embeddings),
+            q AS (SELECT vec_id query_id, q qv FROM v WHERE vec_id < 5),
+            scored AS (
+                SELECT query_id, v.vec_id neighbor_id,
+                       CAST(list_sum(list_transform(list_zip(qv, v.q), p -> p[1] * p[2])) AS DOUBLE) /
+                       (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) *
+                        sqrt(CAST(list_sum(list_transform(v.q, x -> x * x)) AS DOUBLE))) cos
+                FROM q JOIN v ON v.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+                FROM scored) WHERE rank <= 10
+        """,
+        "text_profile_docs": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END n_tokens_ws,
+                len(regexp_extract_all(text, '{bpe}')) n_tokens_bpe,
+                length(regexp_replace(text, '\\s', '', 'g')) nonspace,
+                length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) punct,
+                len(regexp_extract_all(lower(text), '{lang_pats["en"]}')) hits_en,
+                len(regexp_extract_all(lower(text), '{lang_pats["de"]}')) hits_de,
+                len(regexp_extract_all(lower(text), '{lang_pats["es"]}')) hits_es,
+                len(regexp_extract_all(lower(text), '{lang_pats["fr"]}')) hits_fr
+              FROM documents),
+            derived AS (
+              SELECT doc_id, text, n_tokens_ws, n_tokens_bpe,
+                CASE WHEN nonspace = 0 THEN 0.0 ELSE punct * 1.0 / nonspace END punct_ratio,
+                CASE WHEN n_tokens_ws = 0 THEN 0.0 ELSE hits_en * 1.0 / n_tokens_ws END stopword_ratio,
+                greatest(hits_de, hits_en, hits_es, hits_fr) best,
+                hits_de, hits_en, hits_es, hits_fr
+              FROM base),
+            langd AS (
+              SELECT *,
+                CASE WHEN best = 0 THEN 'und'
+                     WHEN hits_de = best THEN 'de'
+                     WHEN hits_en = best THEN 'en'
+                     WHEN hits_es = best THEN 'es'
+                     WHEN hits_fr = best THEN 'fr'
+                     ELSE 'und' END lang_guess,
+                least(n_tokens_ws / 100.0, 1.0) * 0.3 +
+                least(stopword_ratio * 2.5, 1.0) * 0.4 +
+                greatest(0.0, 1.0 - punct_ratio * 2.0) * 0.3 AS quality,
+                coalesce(
+                  list_aggregate(list_transform(range(1, greatest(length(l.text) - 7, 0) + 1),
+                                 i -> md5(substr(l.text, CAST(i AS INT), 8))), 'min'),
+                  md5(l.text)) fingerprint
+              FROM derived l)
+            SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+                   round(punct_ratio, 6) punct_ratio,
+                   round(stopword_ratio, 6) stopword_ratio,
+                   lang_guess, round(quality, 6) quality, fingerprint
+            FROM langd
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS INT) n_bytes, sha256(text) sha
+            FROM documents
+        """,
+    }
