@@ -1,0 +1,131 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the engine's
+primary metric — CDC apply throughput (change-events/sec) replaying a
+deterministic synthetic binlog through the full pipeline
+(normalize → LWW merge → idempotent snapshot commits).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "cdc_events": N, "cdc_seconds": s, "cdc_events_per_sec": r}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   sf directory (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_CDC_EVENTS     logical binlog events (default 200000)
+  BENCH_CDC_BATCHES    replay micro-batches (default 8)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E
+from hierarchical_to_relational_spark import datagen
+from hierarchical_to_relational_spark.session import get_spark
+from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+
+HEADLINE = [
+    "flatten_hier",
+    "lww_latest",
+    "merge_upsert",
+    "normalize_roundtrip",
+    "agg_pricing",
+    "join_region_revenue",
+    "window_top_orders",
+    "sessionize",
+    "minhash_lsh_docs",
+    "simhash_docs",
+    "text_profile_docs",
+    "ann_topk",
+]
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _binlog_dir(n_events: int, n_convs: int, seed: int = 42) -> tuple[str, int]:
+    """Deterministic cached binlog; returns (dir, physical event count)."""
+    key = f"binlog-{n_events}-{n_convs}-{seed}"
+    d = os.path.join(CACHE, key)
+    meta = os.path.join(d, "_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return d, json.load(f)["physical_events"]
+    spec = datagen.BinlogSpec(
+        n_events=n_events, n_convs=n_convs, seed=seed, max_turns_per_event=6, zipf_a=1.2
+    )
+    events = datagen.generate_events(spec)
+    stream = datagen.arrival_order(events, spec)
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    datagen.write_binlog(stream, d, n_segments=32)
+    with open(meta, "w") as f:
+        json.dump({"physical_events": len(stream)}, f)
+    return d, len(stream)
+
+
+def bench_cdc(spark, n_events: int, n_batches: int, work_dir: str) -> dict:
+    binlog, physical = _binlog_dir(n_events, max(n_events // 100, 10))
+    pipe = CdcPipeline(
+        spark,
+        binlog,
+        os.path.join(work_dir, "transcripts"),
+        os.path.join(work_dir, "ck"),
+        n_buckets=32,
+        text_mode="builtin",
+    )
+    segs = sorted(
+        os.path.join(binlog, p) for p in os.listdir(binlog) if p.endswith(".parquet")
+    )
+    per = max(len(segs) // n_batches, 1)
+    t0 = time.monotonic()
+    for b in range(0, len(segs), per):
+        pipe.replay_batch(segs[b : b + per], f"bench-{b}")
+    dt = time.monotonic() - t0
+    return {"cdc_events": physical, "cdc_seconds": round(dt, 3), "cdc_events_per_sec": round(physical / dt, 1)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "200000"))
+    n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "8"))
+    spark = get_spark(app_name="h2r-bench", master=f"local[{cpus}]")
+
+    queries = E.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.monotonic()
+        # noop sink forces full materialization of every column
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="h2r-bench-")
+    cdc = bench_cdc(spark, n_events, n_batches, work)
+    shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline suite wall time (12 queries) + CDC apply throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        **cdc,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

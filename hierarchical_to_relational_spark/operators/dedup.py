@@ -83,19 +83,27 @@ def ngram_jaccard_pairs(
 
 # ---------- MinHash + LSH ----------
 
-def minhash_signature(text_col: Column | str, n_hashes: int = 16, k: int = 5) -> Column:
-    """Array of n MinHash values. Permutation i is simulated by
-    min(md5(shingle || ':' || i)) over the doc's shingles — the
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """(id, m0..m{n-1}) MinHash signatures. Permutation i is simulated by
+    min(md5(shingle || ':' || i)) over the doc's distinct shingles — the
     lexicographic min of a salted cryptographic hash is an unbiased MinHash
-    and is bit-identical in any engine with md5 (the DuckDB oracle)."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    sh = F.array_distinct(shingle_array(c, k))
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f":{i}")))))
-            for i in range(n_hashes)
-        ]
-    )
+    and is bit-identical in any engine with md5 (the DuckDB oracle).
+
+    Physical plan: explode shingles to postings once, then ONE hash
+    aggregation computing all n mins together (map-side partial combine) —
+    one pass over the postings, not n array traversals per doc."""
+    post = shingle_postings(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return post.groupBy(id_col).agg(*aggs)
 
 
 def minhash_band_buckets(
@@ -110,13 +118,12 @@ def minhash_band_buckets(
     bands, each hashed to a bucket id. Docs sharing any (band, bucket) are
     near-dup candidates."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(text_col, n_hashes, k).alias("_sig")
-    d = df.select(F.col(id_col), sig)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
     band_cols = []
     for b in range(bands):
-        parts = [F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        parts = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket")))
-    return d.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 

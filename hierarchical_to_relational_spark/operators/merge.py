@@ -1,21 +1,25 @@
 """Key-partitioned MERGE: last-write-wins upsert + whole-key tombstone
-deletes into a SnapshotTable, copy-on-write over hash buckets.
+deletes into a SnapshotTable, in two physical strategies:
 
-This generalizes the reference's dedup idiom — its groupBy(parent, child,
-level) + max/first aggregation (HierarchyFlattener.java:322-342) — into the
-CDC merge core: group on the primary key, keep the row with the maximum
-``(lsn, commit_ts)`` via ``max_by`` (hash aggregation: partial/map-side
-combine makes it skew-tolerant, no sort needed, unlike a row_number window).
+- **copy-on-write** (``mode="cow"``): read affected buckets, resolve, and
+  rewrite them per batch — reads stay resolution-free, but a batch touching
+  every bucket rewrites the whole table (Iceberg CoW MERGE shape).
+- **merge-on-read** (``mode="mor"``): append the batch as per-bucket delta
+  files — O(batch) write cost independent of table size; readers resolve
+  LWW over base+deltas; ``compact`` folds deltas down copy-on-write style.
+  At 10^10-event scale with hot conversations spread across all buckets,
+  this is the strategy that keeps apply throughput linear (the Iceberg MoR
+  MERGE shape); compaction cost is amortized over many batches.
 
-Order-insensitive and idempotent by construction: replaying events in any
-order, with duplicates, converges to the same final state — this is how
-out-of-order/late binlog data is handled without watermark-based event-time
-processing (SURVEY.md §2.2 streaming row).
-
-Physical shape at scale: the batch shuffles once on the LWW key, the target
-is scanned only for affected buckets (manifest pruning), and only those
-buckets are rewritten — the same partition-level copy-on-write Iceberg MERGE
-produces.
+Resolution itself generalizes the reference's dedup idiom — its
+groupBy(parent, child, level) + max/first aggregation
+(HierarchyFlattener.java:322-342) — into the CDC core: group on the primary
+key, keep the row with the maximum ``(lsn, commit_ts)`` via ``max_by`` (hash
+aggregation: map-side partial combine makes it skew-tolerant, no sort,
+unlike a row_number window). Resolution is order-insensitive and
+idempotent: replaying events in any order, with duplicates, in any
+batching, converges to the same final state — this is how out-of-order and
+late binlog data is handled without event-time watermarks (SURVEY.md §2.2).
 """
 
 from __future__ import annotations
@@ -55,19 +59,6 @@ def merge_lww(
     return lww_latest(target.unionByName(source, allowMissingColumns=True), keys, order_cols)
 
 
-def _tombstone_rows(deletes_b: DataFrame, schema: T.StructType) -> DataFrame:
-    """Delete watermarks → storable tombstone rows (null payload, _op='d')."""
-    cols = [F.col(META_BUCKET), F.col("conv_id"), F.col(META_LSN)]
-    out = deletes_b.select(*cols)
-    for fld in schema.fields:
-        if fld.name not in ("conv_id", META_LSN):
-            if fld.name == META_OP:
-                out = out.withColumn(META_OP, F.lit("d"))
-            else:
-                out = out.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-    return out.select(META_BUCKET, *schema.fieldNames())
-
-
 def table_schema_for(upsert_cols: list[T.StructField]) -> T.StructType:
     """Target physical schema = user columns + merge metadata
     (_lsn, _commit_ts, _op)."""
@@ -80,22 +71,63 @@ def table_schema_for(upsert_cols: list[T.StructField]) -> T.StructType:
     return T.StructType(fields)
 
 
+def _tombstone_rows(deletes_b: DataFrame, schema: T.StructType) -> DataFrame:
+    """(bucket, conv_id, _lsn) delete watermarks → storable tombstone rows
+    (null payload, _op='d') matching the table schema."""
+    out = deletes_b.select(META_BUCKET, "conv_id", META_LSN)
+    for fld in schema.fields:
+        if fld.name in ("conv_id", META_LSN):
+            continue
+        if fld.name == META_OP:
+            out = out.withColumn(META_OP, F.lit("d"))
+        else:
+            out = out.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    return out.select(META_BUCKET, *schema.fieldNames())
+
+
+def resolve(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Collapse any pile of upsert rows (_op='u') and tombstone rows
+    (_op='d') to the canonical state: latest upsert per (conv_id, turn_idx)
+    that outlives its conversation's max delete LSN, plus one tombstone row
+    per deleted conversation (kept to kill late arrivals). Idempotent:
+    resolve(resolve(x) ∪ y) == resolve(x ∪ y)."""
+    tomb = (
+        df.where(F.col(META_OP) == "d")
+        .groupBy(META_BUCKET, "conv_id")
+        .agg(F.max(META_LSN).alias("_del_lsn"))
+    )
+    ups = lww_latest(
+        df.where(F.col(META_OP) == "u"),
+        [META_BUCKET, "conv_id", "turn_idx"],
+        [META_LSN, META_TS],
+    )
+    live = (
+        ups.join(tomb, [META_BUCKET, "conv_id"], "left")
+        .where(F.col("_del_lsn").isNull() | (F.col(META_LSN) > F.col("_del_lsn")))
+        .drop("_del_lsn")
+        .select(META_BUCKET, *schema.fieldNames())
+    )
+    tomb_rows = _tombstone_rows(tomb.withColumnRenamed("_del_lsn", META_LSN), schema)
+    return live.unionByName(tomb_rows)
+
+
 def apply_cdc_batch(
     spark: SparkSession,
     table: SnapshotTable,
     upserts: DataFrame,
     deletes: DataFrame,
     batch_id: str,
+    mode: str = "mor",
+    collect_stats: bool = True,
 ) -> dict:
     """Apply one normalized change batch to the table, exactly-once.
 
     upserts: conv_id, <turn columns...>, _lsn, _commit_ts  (from normalize)
     deletes: conv_id, _lsn  (max delete LSN per conversation in this batch)
 
-    Steps: additively evolve schema if the batch is wider → bucket the batch
-    → batch-local LWW → read only affected target buckets → re-resolve
-    (LWW + tombstone watermark filter) → rewrite those buckets in one
-    idempotent snapshot commit keyed by ``batch_id``.
+    Widens the target schema first if the batch is additively wider; the
+    commit (append or bucket-rewrite per ``mode``) is idempotent on
+    ``batch_id``.
     """
     t0 = time.monotonic()
     schema = table.schema()
@@ -109,70 +141,79 @@ def apply_cdc_batch(
         schema = table.schema()
 
     bucket_of = table.bucket_col()
-    ups = upserts.withColumn(META_BUCKET, bucket_of(F.col("conv_id"))).withColumn(META_OP, F.lit("u"))
+    ups = (
+        upserts.withColumn(META_BUCKET, bucket_of(F.col("conv_id")))
+        .withColumn(META_OP, F.lit("u"))
+    )
+    for fld in schema.fields:  # older-schema batches: null-fill evolved cols
+        if fld.name not in ups.columns:
+            ups = ups.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    ups = ups.select(META_BUCKET, *schema.fieldNames())
     dels = deletes.withColumn(META_BUCKET, bucket_of(F.col("conv_id")))
+    batch = ups.unionByName(_tombstone_rows(dels, schema))
 
-    # batch-local LWW (collapses duplicate/out-of-order events before the
-    # target scan; one shuffle on the primary key)
-    ups = lww_latest(ups, [META_BUCKET, "conv_id", "turn_idx"], [META_LSN, META_TS])
+    stats = {"rows_written": None, "upserts": None, "deletes": None, "max_lsn": None}
+    if collect_stats or mode == "cow":
+        batch = batch.persist()
+    if collect_stats:
+        row = batch.groupBy().agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.max(META_LSN).alias("max_lsn"),
+            F.sum(F.when(F.col(META_OP) == "u", 1).otherwise(0)).alias("ups"),
+            F.sum(F.when(F.col(META_OP) == "d", 1).otherwise(0)).alias("dels"),
+        ).collect()[0]
+        stats = {
+            "rows_written": row["rows"], "upserts": row["ups"],
+            "deletes": row["dels"], "max_lsn": row["max_lsn"],
+        }
 
-    # affected buckets → driver (bounded by n_buckets: partition-pruning
-    # metadata, not data)
-    affected = sorted(
-        r[0]
-        for r in ups.select(META_BUCKET).union(dels.select(META_BUCKET)).distinct().collect()
-    )
-    if not affected:
-        return {"batch_id": batch_id, "committed": False, "rows_written": 0, "buckets": [],
-                "upserts": 0, "deletes": 0, "duration_s": time.monotonic() - t0, "max_lsn": None}
+    if mode == "mor":
+        committed = table.commit_append(batch, batch_id=batch_id)
+        buckets: list[int] = []
+    elif mode == "cow":
+        buckets = sorted(r[0] for r in batch.select(META_BUCKET).distinct().collect())
+        if buckets:
+            current = table.read(spark, buckets=buckets)
+            resolved = resolve(batch.unionByName(current, allowMissingColumns=True), schema)
+            committed = table.commit_overwrite_buckets(resolved, buckets, batch_id=batch_id)
+        else:
+            committed = False
+    else:
+        raise ValueError(f"unknown merge mode {mode!r}")
+    if collect_stats or mode == "cow":
+        batch.unpersist()
 
-    current = table.read(spark, buckets=affected)
-
-    ups_full = ups.unionByName(current.where(F.col(META_OP) == "u"), allowMissingColumns=True)
-    tomb_all = (
-        dels.select(META_BUCKET, "conv_id", META_LSN)
-        .unionByName(current.where(F.col(META_OP) == "d").select(META_BUCKET, "conv_id", META_LSN))
-    )
-    # one watermark per conversation (algebraic max: map-side combine
-    # defuses hot-conversation delete storms — the salted-agg equivalent)
-    tomb = tomb_all.groupBy(META_BUCKET, "conv_id").agg(F.max(META_LSN).alias("_del_lsn"))
-
-    resolved = lww_latest(ups_full, [META_BUCKET, "conv_id", "turn_idx"], [META_LSN, META_TS])
-    live = (
-        resolved.join(tomb, [META_BUCKET, "conv_id"], "left")
-        .where(F.col("_del_lsn").isNull() | (F.col(META_LSN) > F.col("_del_lsn")))
-        .drop("_del_lsn")
-    )
-    live = live.select(META_BUCKET, *schema.fieldNames())
-    tomb_rows = _tombstone_rows(tomb.withColumnRenamed("_del_lsn", META_LSN), schema)
-    final = live.unionByName(tomb_rows)
-
-    # materialize once: both the stats action and the commit write read it
-    final = final.persist()
-    stats_row = final.groupBy().agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.max(META_LSN).alias("max_lsn"),
-        F.sum(F.when(F.col(META_OP) == "u", 1).otherwise(0)).alias("ups"),
-        F.sum(F.when(F.col(META_OP) == "d", 1).otherwise(0)).alias("dels"),
-    ).collect()[0]
-
-    committed = table.commit_overwrite_buckets(final, affected, batch_id=batch_id)
-    final.unpersist()
     return {
         "batch_id": batch_id,
+        "mode": mode,
         "committed": committed,
-        "rows_written": stats_row["rows"],
-        "upserts": stats_row["ups"],
-        "deletes": stats_row["dels"],
-        "max_lsn": stats_row["max_lsn"],
-        "buckets": affected,
+        "buckets": buckets,
         "duration_s": time.monotonic() - t0,
+        **stats,
     }
 
 
-def read_transcripts(spark: SparkSession, table: SnapshotTable, version: int | None = None) -> DataFrame:
-    """User-facing read: live rows only, metadata dropped, stable
-    (conv_id, turn_idx) ordering left to the caller."""
-    df = table.read(spark, version=version)
-    user_cols = [n for n in table.schema(version).fieldNames() if not n.startswith("_")]
+def compact(spark: SparkSession, table: SnapshotTable, batch_id: str) -> bool:
+    """Fold merge-on-read deltas down: read + resolve every live bucket,
+    rewrite copy-on-write. Amortized over many appends; idempotent on
+    batch_id like any commit."""
+    schema = table.schema()
+    live_buckets = [int(b) for b in table.snapshot()["live"].keys()]
+    if not live_buckets:
+        return False
+    resolved = resolve(table.read(spark), schema)
+    return table.commit_overwrite_buckets(resolved, live_buckets, batch_id=batch_id)
+
+
+def read_transcripts(
+    spark: SparkSession,
+    table: SnapshotTable,
+    version: int | None = None,
+) -> DataFrame:
+    """User-facing read: resolve LWW+tombstones over base+deltas (a no-op
+    reshuffle on freshly-compacted tables), keep live rows, drop metadata.
+    Stable (conv_id, turn_idx) ordering is left to the caller."""
+    schema = table.schema(version)
+    df = resolve(table.read(spark, version=version), schema)
+    user_cols = [n for n in schema.fieldNames() if not n.startswith("_")]
     return df.where(F.col(META_OP) == "u").select(*user_cols)

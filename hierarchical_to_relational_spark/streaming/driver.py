@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, types as T
 
 from hierarchical_to_relational_spark.lineage import LineageStore
-from hierarchical_to_relational_spark.operators.merge import apply_cdc_batch, table_schema_for
+from hierarchical_to_relational_spark.operators.merge import apply_cdc_batch, compact, table_schema_for
 from hierarchical_to_relational_spark.operators.normalize import normalize_envelopes, turn_fields
 from hierarchical_to_relational_spark.sources import binlog as binlog_source
 from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
@@ -38,11 +38,17 @@ class CdcPipeline:
         n_buckets: int = 16,
         text_mode: str = "builtin",
         envelope_schema: T.StructType | None = None,
+        mode: str = "mor",
+        compact_every: int = 16,
+        collect_stats: bool = True,
     ):
         self.spark = spark
         self.binlog_dir = binlog_dir
         self.checkpoint_dir = checkpoint_dir
         self.text_mode = text_mode
+        self.mode = mode
+        self.compact_every = compact_every
+        self.collect_stats = collect_stats
         self.envelope_schema = envelope_schema or binlog_source.envelope_schema()
 
         if SnapshotTable.exists(table_root):
@@ -56,7 +62,14 @@ class CdcPipeline:
     # -- one micro-batch (also usable standalone for pure batch ingest) --
     def apply_batch(self, envelopes: DataFrame, batch_id: int | str) -> dict:
         upserts, deletes = normalize_envelopes(envelopes, text_mode=self.text_mode)
-        metrics = apply_cdc_batch(self.spark, self.table, upserts, deletes, batch_id=str(batch_id))
+        metrics = apply_cdc_batch(
+            self.spark, self.table, upserts, deletes, batch_id=str(batch_id),
+            mode=self.mode, collect_stats=self.collect_stats,
+        )
+        # merge-on-read: fold deltas down once they stack too deep
+        if self.mode == "mor" and self.table.delta_depth() >= self.compact_every:
+            compact(self.spark, self.table, batch_id=f"{batch_id}::compact")
+            metrics["compacted"] = True
         metrics["table_version"] = self.table.current_version()
         self.lineage.record(metrics)
         return metrics

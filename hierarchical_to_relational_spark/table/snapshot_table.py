@@ -141,16 +141,21 @@ class SnapshotTable:
     def read(self, spark: SparkSession, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
         """Scan the live table state (or a historical version), optionally
         pruned to a bucket subset. Old files are projected up to the current
-        schema (additive evolution → missing columns read as null)."""
+        schema (additive evolution → missing columns read as null).
+
+        A bucket may map to several commit dirs (merge-on-read appends);
+        the scan unions them all — LWW resolution happens in the caller
+        (operators.merge.resolve) where required."""
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
-        live: dict[str, str] = snap["live"]
+        live: dict[str, list[str]] = snap["live"]
         wanted = {str(b) for b in buckets} if buckets is not None else set(live.keys())
         # group bucket partitions by owning commit dir → one scan per commit
         by_commit: dict[str, list[str]] = {}
-        for b, commit_dir in live.items():
+        for b, commit_dirs in live.items():
             if b in wanted:
-                by_commit.setdefault(commit_dir, []).append(b)
+                for commit_dir in commit_dirs:
+                    by_commit.setdefault(commit_dir, []).append(b)
         out_cols = ["_bucket"] + schema.fieldNames()
         parts: list[DataFrame] = []
         for commit_dir, bks in sorted(by_commit.items()):
@@ -171,6 +176,48 @@ class SnapshotTable:
 
     # ---------- write ----------
 
+    def _write_commit_data(self, df: DataFrame, schema: T.StructType, repartition: bool) -> tuple[str, set[str]]:
+        commit_rel = os.path.join(DATA_DIR, f"c-{uuid.uuid4().hex}")
+        commit_abs = os.path.join(self.root, commit_rel)
+        ordered = ["_bucket"] + [n for n in schema.fieldNames()]
+        out = df.select(*ordered)
+        if repartition:
+            # one shuffle so each bucket dir gets few files (not tasks×buckets)
+            out = out.repartition("_bucket")
+        out.write.partitionBy("_bucket").mode("overwrite").parquet(commit_abs)
+        written = {
+            os.path.basename(p).split("=", 1)[1]
+            for p in glob.glob(os.path.join(commit_abs, "_bucket=*"))
+        }
+        return commit_rel, written
+
+    def _commit(self, batch_id: str, schema: T.StructType, live: dict) -> bool:
+        cur = self.snapshot()
+        snap = {
+            "version": cur["version"] + 1,
+            "batch_id": batch_id,
+            "schema": schema.json(),
+            "n_buckets": cur["n_buckets"],
+            "live": live,
+        }
+        try:
+            self._write_snapshot(snap)
+        except CommitConflictError:
+            # lost a race; data files become orphans. Re-check idempotence.
+            if batch_id in self.committed_batch_ids():
+                return False
+            raise
+        return True
+
+    def _resolve_schema(self, new_schema: T.StructType | None) -> T.StructType:
+        cur_schema = self.schema()
+        if new_schema is None:
+            return cur_schema
+        if not set(cur_schema.fieldNames()) <= set(new_schema.fieldNames()):
+            dropped = set(cur_schema.fieldNames()) - set(new_schema.fieldNames())
+            raise ValueError(f"schema evolution must be additive; dropped: {dropped}")
+        return new_schema
+
     def commit_overwrite_buckets(
         self,
         df: DataFrame,
@@ -187,52 +234,43 @@ class SnapshotTable:
         atomic snapshot."""
         if batch_id in self.committed_batch_ids():
             return False
-        cur = self.snapshot()
-        schema = new_schema or T.StructType.fromJson(json.loads(cur["schema"]))
-        if new_schema is not None:
-            old_names = set(T.StructType.fromJson(json.loads(cur["schema"])).fieldNames())
-            new_names = set(new_schema.fieldNames())
-            if not old_names <= new_names:
-                raise ValueError(f"schema evolution must be additive; dropped: {old_names - new_names}")
-
-        commit_rel = os.path.join(DATA_DIR, f"c-{uuid.uuid4().hex}")
-        commit_abs = os.path.join(self.root, commit_rel)
-        ordered = ["_bucket"] + [n for n in schema.fieldNames()]
-        # one file per bucket partition dir; bucket dirs drive read pruning
-        (
-            df.select(*ordered)
-            .repartition("_bucket")
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(commit_abs)
-        )
-        written = {
-            os.path.basename(p).split("=", 1)[1]
-            for p in glob.glob(os.path.join(commit_abs, "_bucket=*"))
-        }
-
-        live = dict(cur["live"])
+        schema = self._resolve_schema(new_schema)
+        commit_rel, written = self._write_commit_data(df, schema, repartition=True)
+        live = {b: list(ds) for b, ds in self.snapshot()["live"].items()}
         for b in buckets:
             b = str(b)
             if b in written:
-                live[b] = commit_rel
+                live[b] = [commit_rel]
             else:
                 live.pop(b, None)  # bucket emptied by this batch (all rows deleted)
-        snap = {
-            "version": cur["version"] + 1,
-            "batch_id": batch_id,
-            "schema": schema.json(),
-            "n_buckets": cur["n_buckets"],
-            "live": live,
-        }
-        try:
-            self._write_snapshot(snap)
-        except CommitConflictError:
-            # lost a race; data files become orphans. Re-check idempotence.
-            if batch_id in self.committed_batch_ids():
-                return False
-            raise
-        return True
+        return self._commit(batch_id, schema, live)
+
+    def commit_append(
+        self,
+        df: DataFrame,
+        batch_id: str,
+        new_schema: T.StructType | None = None,
+    ) -> bool:
+        """Merge-on-read commit: append ``df`` (with ``_bucket`` column) as
+        delta files on top of each touched bucket — O(batch) write cost,
+        independent of table size. Readers union base + deltas and resolve
+        LWW; ``compact`` (a copy-on-write commit) folds deltas back down.
+        Idempotent on batch_id like every commit."""
+        if batch_id in self.committed_batch_ids():
+            return False
+        schema = self._resolve_schema(new_schema)
+        # repartition even for appends: batches are small and this keeps
+        # files-per-bucket at one instead of tasks×buckets
+        commit_rel, written = self._write_commit_data(df, schema, repartition=True)
+        live = {b: list(ds) for b, ds in self.snapshot()["live"].items()}
+        for b in written:
+            live.setdefault(b, []).append(commit_rel)
+        return self._commit(batch_id, schema, live)
+
+    def delta_depth(self) -> int:
+        """Max commit dirs stacked on any bucket (compaction trigger)."""
+        live = self.snapshot()["live"]
+        return max((len(ds) for ds in live.values()), default=0)
 
     def evolve(self, add_fields: list[T.StructField], batch_id: str) -> bool:
         """Metadata-only additive widening (no data rewrite)."""

@@ -188,3 +188,30 @@ def test_arrow_normalize_text(spark, tmp_path):
     pipe.apply_batch(env, "b1")
     (row,) = read_transcripts(spark, pipe.table).collect()
     assert row["text"] == "hello world !"
+
+
+def test_cow_mode_matches_oracle(spark, tmp_path, binlog):
+    """Copy-on-write strategy converges to the same state as merge-on-read."""
+    pipe = CdcPipeline(spark, binlog["dir"], str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=8, text_mode="none", mode="cow")
+    for i, p in enumerate(binlog["paths"]):
+        pipe.replay_batch(p, f"seg-{i}")
+    _assert_matches_oracle(spark, pipe, binlog["events"])
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path, binlog):
+    """Appended deltas stack; compaction folds them without changing the
+    resolved state; reads are identical before/after."""
+    pipe = CdcPipeline(spark, binlog["dir"], str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=8, text_mode="none", mode="mor", compact_every=1000)
+    for i, p in enumerate(binlog["paths"]):
+        pipe.replay_batch(p, f"seg-{i}")
+    assert pipe.table.delta_depth() >= len(binlog["paths"]) - 1
+    before = _final_state(spark, pipe.table)
+    from hierarchical_to_relational_spark.operators.merge import compact
+    assert compact(spark, pipe.table, "compact-1") is True
+    assert pipe.table.delta_depth() == 1
+    pd.testing.assert_frame_equal(before, _final_state(spark, pipe.table))
+    _assert_matches_oracle(spark, pipe, binlog["events"])
+    # compaction replay is a no-op
+    assert compact(spark, pipe.table, "compact-1") is False
