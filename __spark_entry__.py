@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 
 from hierarchical_to_relational_spark import FlattenConfig, flatten
 from hierarchical_to_relational_spark.operators import dedup as dd
+from hierarchical_to_relational_spark.operators.dedup import MINHASH_P, _minhash_perms
 from hierarchical_to_relational_spark.operators import text as tx
 from hierarchical_to_relational_spark.operators.text import LANG_STOPWORDS
 from hierarchical_to_relational_spark.operators.merge import (
@@ -518,7 +519,10 @@ def oracle_sql() -> dict[str, str]:
         f"avg(strpos('{nib}', substr(h, {i + 1}, 1)) - 1) AS n{i}" for i in range(16)
     )
     sim_bits = " || ".join(f"(CASE WHEN n{i} > 7.5 THEN '1' ELSE '0' END)" for i in range(16))
-    minhash_mins = ",\n".join(f"min(md5(shingle || ':{i}')) AS m{i}" for i in range(16))
+    minhash_mins = ",\n".join(
+        f"min(({a} * hx + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_minhash_perms(16))
+    )
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(m{b*4} || '|' || m{b*4+1} || '|' || m{b*4+2} || '|' || m{b*4+3}) AS bucket FROM sig"
         for b in range(4)
@@ -659,11 +663,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.4
         """,
         "minhash_lsh_docs": f"""
-            WITH post AS (SELECT DISTINCT doc_id, shingle FROM (
+            WITH post AS (SELECT doc_id, shingle FROM (
                           SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
                                                 i -> substr(text, CAST(i AS INT), 5))) AS shingle
                           FROM documents)),
-            sig AS (SELECT doc_id, {minhash_mins} FROM post GROUP BY doc_id),
+            hashed AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) hx FROM post),
+            sig AS (SELECT doc_id, {minhash_mins} FROM hashed GROUP BY doc_id),
             bands AS ({band_rows})
             SELECT DISTINCT a.doc_id id1, b.doc_id id2
             FROM bands a JOIN bands b

@@ -45,11 +45,12 @@ def dedup_exact(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFram
 
 # ---------- n-gram Jaccard ----------
 
-def shingle_postings(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
-    """(id, shingle) inverted-index postings, distinct per doc."""
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingle_array(text_col, k))).alias("shingle"))
-    )
+def shingle_postings(df: DataFrame, id_col: str, text_col: str, k: int = 5, distinct: bool = True) -> DataFrame:
+    """(id, shingle) inverted-index postings; ``distinct`` dedups per doc
+    (required for Jaccard set semantics; skippable for min-aggregations
+    like MinHash where duplicates don't change the result)."""
+    post = df.select(F.col(id_col), F.explode(shingle_array(text_col, k)).alias("shingle"))
+    return post.distinct() if distinct else post
 
 
 def ngram_jaccard_pairs(
@@ -83,6 +84,32 @@ def ngram_jaccard_pairs(
 
 # ---------- MinHash + LSH ----------
 
+# Affine-permutation constants for MinHash: h_i(x) = (A_i·x + B_i) mod P.
+# P = 2^31 − 1 (prime); base hash x < 2^28 (first 7 hex chars of md5), so
+# A·x + B < 2^59 — exact in 64-bit signed arithmetic in ANY engine (the
+# DuckDB oracle replays the identical arithmetic). Constants are fixed
+# (replay-stable), generated once from a seeded LCG.
+MINHASH_P = 2_147_483_647
+
+
+def _minhash_perms(n: int) -> list[tuple[int, int]]:
+    pairs, state = [], 0x5DEECE66D
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = state % (MINHASH_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % MINHASH_P
+        pairs.append((a % (2**30) | 1, b % (2**30)))  # keep A·x+B < 2^59
+    return pairs
+
+
+def minhash_base_hash(shingle_col: Column) -> Column:
+    """28-bit integer base hash of a shingle: first 7 hex chars of md5 —
+    computed ONCE per posting (Spark's md5 is the expensive step; the n
+    permutations are cheap integer ops on top)."""
+    return F.conv(F.substring(F.md5(shingle_col), 1, 7), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -90,20 +117,17 @@ def minhash_signatures(
     n_hashes: int = 16,
     k: int = 5,
 ) -> DataFrame:
-    """(id, m0..m{n-1}) MinHash signatures. Permutation i is simulated by
-    min(md5(shingle || ':' || i)) over the doc's distinct shingles — the
-    lexicographic min of a salted cryptographic hash is an unbiased MinHash
-    and is bit-identical in any engine with md5 (the DuckDB oracle).
-
-    Physical plan: explode shingles to postings once, then ONE hash
-    aggregation computing all n mins together (map-side partial combine) —
-    one pass over the postings, not n array traversals per doc."""
-    post = shingle_postings(df, id_col, text_col, k)
+    """(id, m0..m{n-1}) MinHash signatures: one md5 per posting, n affine
+    permutations, ONE hash aggregation computing all n mins together
+    (fixed-width longs → HashAggregateExec with map-side partial combine).
+    One pass over the postings, not n array traversals per doc."""
+    post = shingle_postings(df, id_col, text_col, k, distinct=False)
+    hashed = post.select(F.col(id_col), minhash_base_hash(F.col("shingle")).alias("hx"))
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"m{i}")
-        for i in range(n_hashes)
+        F.min((F.lit(a) * F.col("hx") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_perms(n_hashes))
     ]
-    return post.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_band_buckets(
@@ -167,12 +191,13 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, sim_bits: int
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).where(F.length("tok") > 0)
-    h = F.md5(F.col("tok"))
+    # materialize the digest once per token; nibble extracts are then cheap
+    hashed = toks.select(id_col, F.md5(F.col("tok")).alias("h"))
     nib_vals = [
-        (F.instr(F.lit(HEX_NIBBLE), F.substring(h, i + 1, 1)) - 1).alias(f"n{i}")
+        (F.instr(F.lit(HEX_NIBBLE), F.substring(F.col("h"), i + 1, 1)) - 1).alias(f"n{i}")
         for i in range(sim_bits)
     ]
-    votes = toks.select(id_col, *nib_vals).groupBy(id_col).agg(
+    votes = hashed.select(id_col, *nib_vals).groupBy(id_col).agg(
         *[F.avg(f"n{i}").alias(f"n{i}") for i in range(sim_bits)]
     )
     bits = F.concat(*[F.when(F.col(f"n{i}") > 7.5, F.lit("1")).otherwise(F.lit("0")) for i in range(sim_bits)])
