@@ -50,8 +50,9 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
 def _binlog_dir(n_events: int, n_convs: int, seed: int = 42) -> tuple[str, int]:
-    """Deterministic cached binlog; returns (dir, physical event count)."""
-    key = f"binlog-{n_events}-{n_convs}-{seed}"
+    """Deterministic cached binlog (vectorized generator); returns
+    (dir, physical event count)."""
+    key = f"binlog-v2-{n_events}-{n_convs}-{seed}"
     d = os.path.join(CACHE, key)
     meta = os.path.join(d, "_meta.json")
     if os.path.exists(meta):
@@ -60,14 +61,12 @@ def _binlog_dir(n_events: int, n_convs: int, seed: int = 42) -> tuple[str, int]:
     spec = datagen.BinlogSpec(
         n_events=n_events, n_convs=n_convs, seed=seed, max_turns_per_event=6, zipf_a=1.2
     )
-    events = datagen.generate_events(spec)
-    stream = datagen.arrival_order(events, spec)
     if os.path.exists(d):
         shutil.rmtree(d)
-    datagen.write_binlog(stream, d, n_segments=32)
+    _, physical = datagen.generate_binlog_fast(spec, d, n_segments=256)
     with open(meta, "w") as f:
-        json.dump({"physical_events": len(stream)}, f)
-    return d, len(stream)
+        json.dump({"physical_events": physical}, f)
+    return d, physical
 
 
 def bench_cdc(spark, n_events: int, n_batches: int, work_dir: str) -> dict:
@@ -94,13 +93,14 @@ def bench_cdc(spark, n_events: int, n_batches: int, work_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "200000"))
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
     n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "8"))
     spark = get_spark(app_name="h2r-bench", master=f"local[{cpus}]")
 
     queries = E.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    headline = [] if os.environ.get("BENCH_CDC_ONLY") else HEADLINE
+    for name in headline:
         df = queries[name](spark, sf_dir)
         t0 = time.monotonic()
         # noop sink forces full materialization of every column

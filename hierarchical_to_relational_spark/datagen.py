@@ -164,6 +164,116 @@ def write_binlog(stream: pd.DataFrame, out_dir: str, n_segments: int = 8, evolve
     return paths
 
 
+def generate_binlog_fast(spec: BinlogSpec, out_dir: str, n_segments: int = 32) -> tuple[list[str], int]:
+    """Fully-vectorized binlog generation for bench-scale inputs (millions
+    of events): numpy for all columns, pyarrow ListArray.from_arrays for
+    the nested turns — no per-event Python. Same envelope schema and event
+    semantics as the loop generator (insert/update upsert turns, delete
+    tombstones whole conversations; duplicates + shuffled arrival); exact
+    turn-id sequences differ, which is irrelevant to the engine and to the
+    pandas oracle (tests use the loop generator).
+
+    Returns (segment paths, physical event count including duplicates)."""
+    rng = np.random.default_rng(spec.seed)
+    n = spec.n_events
+    conv_ranks = (rng.zipf(spec.zipf_a, size=n) - 1) % spec.n_convs
+    u = rng.random(n)
+    is_del = u < spec.delete_rate
+    is_upd = (~is_del) & (u < spec.delete_rate + spec.update_rate)
+    lsns = np.arange(1, n + 1, dtype=np.int64)
+    epoch_us = np.datetime64(EPOCH.to_datetime64(), "us")
+    commit_us = epoch_us + ((lsns * 1000 + rng.integers(-500, 500, size=n)) * 1000).astype("timedelta64[us]")
+
+    k = rng.integers(1, spec.max_turns_per_event + 1, size=n)
+    k[is_del] = 0
+    total = int(k.sum())
+    ev_of_row = np.repeat(np.arange(n), k)
+    starts = np.concatenate(([0], np.cumsum(k)[:-1]))
+    off = np.arange(total) - np.repeat(starts, k)
+
+    # per-conversation running turn total before each insert event
+    ins_k = np.where(is_upd | is_del, 0, k)
+    df_ev = pd.DataFrame({"conv": conv_ranks, "ins_k": ins_k})
+    prev_total = (df_ev.groupby("conv")["ins_k"].cumsum() - ins_k).to_numpy()
+    base = prev_total[ev_of_row]
+    kk = k[ev_of_row]
+    m = np.maximum(base, 1)
+    upd_r = rng.integers(0, 2**31, size=total)
+    # updates: k distinct slots in [0, max(prev_total, k)); inserts: append
+    upd_mod = np.maximum(m, kk)
+    turn_idx = np.where(
+        is_upd[ev_of_row],
+        (upd_r % upd_mod + off) % upd_mod,
+        base + off,
+    ).astype(np.int32)
+
+    words = np.array(WORDS)
+    texts = np.char.add(
+        np.char.add(words[rng.integers(0, len(words), size=total)], " "),
+        np.char.add(words[rng.integers(0, len(words), size=total)],
+                    np.char.add(" [e", np.char.add(ev_of_row.astype("U10"), "]"))),
+    )
+    roles = np.array(ROLES)[rng.integers(0, len(ROLES), size=total)]
+    tool_pool = np.array([t if t is not None else "" for t in TOOLS])
+    tools_raw = tool_pool[rng.integers(0, len(TOOLS), size=total)]
+    turn_ts = epoch_us + (lsns[ev_of_row] * 1_000_000).astype("timedelta64[us]")
+
+    def _arr(x) -> pa.Array:
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    turn_type = _turn_type(False)
+    tools_pa = pa.array(tools_raw, pa.string())
+    tools_pa = pa.compute.if_else(pa.compute.equal(tools_pa, ""), pa.scalar(None, pa.string()), tools_pa)
+    turns_flat = pa.StructArray.from_arrays(
+        [
+            _arr(pa.array(turn_idx, pa.int32())),
+            _arr(pa.array(roles, pa.string())),
+            _arr(pa.array(texts, pa.string())),
+            _arr(tools_pa),
+            _arr(pa.array(turn_ts, pa.timestamp("us"))),
+        ],
+        fields=list(turn_type),
+    )
+    offsets = pa.array(np.concatenate(([0], np.cumsum(k))).astype(np.int32))
+    turns_list = pa.ListArray.from_arrays(offsets, turns_flat)
+    payload_type = pa.struct([pa.field("turns", pa.list_(turn_type), nullable=True)])
+    payload = pa.StructArray.from_arrays(
+        [turns_list], fields=list(payload_type), mask=pa.array(is_del)  # delete ⇒ null payload
+    )
+
+    ops = np.where(is_del, "delete", np.where(is_upd, "update", "insert"))
+    tbl = pa.table(
+        {
+            "lsn": pa.array(lsns, pa.int64()),
+            "commit_ts": pa.array(commit_us, pa.timestamp("us")),
+            "op": pa.array(ops, pa.string()),
+            "conv_id": pa.array(np.char.add("c", conv_ranks.astype("U10")), pa.string()),
+            "payload": payload,
+        }
+    )
+
+    # duplicates + shuffled arrival (vectorized take)
+    rng2 = np.random.default_rng(spec.seed + 1)
+    dup_idx = rng2.choice(n, size=int(n * spec.dup_rate), replace=False)
+    order = np.concatenate([np.arange(n), dup_idx])
+    if spec.shuffle:
+        order = order[rng2.permutation(len(order))]
+    physical = len(order)
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    bounds = np.linspace(0, physical, n_segments + 1, dtype=int)
+    for s in range(n_segments):
+        sel = order[bounds[s]: bounds[s + 1]]
+        if len(sel) == 0:
+            continue
+        seg = tbl.take(pa.array(sel))
+        path = os.path.join(out_dir, f"segment-{s:05d}.parquet")
+        pq.write_table(seg, path)
+        paths.append(path)
+    return paths, physical
+
+
 def expected_state(events: pd.DataFrame) -> pd.DataFrame:
     """Pure-pandas replay oracle → final transcripts table, sorted by
     (conv_id, turn_idx). Independent of the Spark engine (set-based LWW +

@@ -152,25 +152,15 @@ def apply_cdc_batch(
     dels = deletes.withColumn(META_BUCKET, bucket_of(F.col("conv_id")))
     batch = ups.unionByName(_tombstone_rows(dels, schema))
 
-    stats = {"rows_written": None, "upserts": None, "deletes": None, "max_lsn": None}
-    if collect_stats or mode == "cow":
-        batch = batch.persist()
-    if collect_stats:
-        row = batch.groupBy().agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.max(META_LSN).alias("max_lsn"),
-            F.sum(F.when(F.col(META_OP) == "u", 1).otherwise(0)).alias("ups"),
-            F.sum(F.when(F.col(META_OP) == "d", 1).otherwise(0)).alias("dels"),
-        ).collect()[0]
-        stats = {
-            "rows_written": row["rows"], "upserts": row["ups"],
-            "deletes": row["dels"], "max_lsn": row["max_lsn"],
-        }
-
+    # stats (rows, max applied LSN, tombstone/upsert counts) come from the
+    # written files' parquet footers — no extra Spark job (collect_stats
+    # retained in the signature for compatibility; footer stats are free)
+    del collect_stats
     if mode == "mor":
         committed = table.commit_append(batch, batch_id=batch_id)
         buckets: list[int] = []
     elif mode == "cow":
+        batch = batch.persist()
         buckets = sorted(r[0] for r in batch.select(META_BUCKET).distinct().collect())
         if buckets:
             current = table.read(spark, buckets=buckets)
@@ -178,11 +168,15 @@ def apply_cdc_batch(
             committed = table.commit_overwrite_buckets(resolved, buckets, batch_id=batch_id)
         else:
             committed = False
+        batch.unpersist()
     else:
         raise ValueError(f"unknown merge mode {mode!r}")
-    if collect_stats or mode == "cow":
-        batch.unpersist()
 
+    stats = (
+        table.last_commit_stats
+        if committed and getattr(table, "last_commit_stats", None)
+        else {"rows_written": None, "upserts": None, "deletes": None, "max_lsn": None}
+    )
     return {
         "batch_id": batch_id,
         "mode": mode,

@@ -189,7 +189,32 @@ class SnapshotTable:
             os.path.basename(p).split("=", 1)[1]
             for p in glob.glob(os.path.join(commit_abs, "_bucket=*"))
         }
+        self.last_commit_stats = self._footer_stats(commit_abs)
         return commit_rel, written
+
+    @staticmethod
+    def _footer_stats(commit_abs: str, lsn_col: str = "_lsn", tombstone_null_col: str = "turn_idx") -> dict:
+        """Commit metrics from parquet footers — no Spark job: row count,
+        max applied LSN (column max stats), tombstone count (null-count of
+        the key column, which is null exactly on tombstone rows)."""
+        import pyarrow.parquet as papq
+
+        rows, max_lsn, nulls = 0, None, 0
+        for f in glob.glob(os.path.join(commit_abs, "_bucket=*", "*.parquet")):
+            md = papq.ParquetFile(f).metadata
+            rows += md.num_rows
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                if lsn_col in names:
+                    st = g.column(names[lsn_col]).statistics
+                    if st is not None and st.has_min_max:
+                        max_lsn = st.max if max_lsn is None else max(max_lsn, st.max)
+                if tombstone_null_col in names:
+                    st = g.column(names[tombstone_null_col]).statistics
+                    if st is not None and st.null_count is not None:
+                        nulls += st.null_count
+        return {"rows_written": rows, "max_lsn": max_lsn, "deletes": nulls, "upserts": rows - nulls}
 
     def _commit(self, batch_id: str, schema: T.StructType, live: dict) -> bool:
         cur = self.snapshot()
