@@ -58,6 +58,9 @@ class SnapshotTable:
         self.root = root
         self._snap_dir = os.path.join(root, SNAPSHOT_DIR)
         self._data_dir = os.path.join(root, DATA_DIR)
+        # incremental batch-id cache: (last version scanned, ids seen so far)
+        self._ids_scanned_to: int = -1
+        self._ids_cache: set[str] = set()
 
     # ---------- snapshot log ----------
 
@@ -128,7 +131,14 @@ class SnapshotTable:
         return self.snapshot()["n_buckets"]
 
     def committed_batch_ids(self) -> set[str]:
-        return {self.snapshot(v)["batch_id"] for v in self._versions()}
+        """Every batch_id ever committed. Incremental: only snapshot files
+        newer than the last scan are read (commit cost stays O(1) amortized
+        over a long stream instead of O(versions))."""
+        for v in self._versions():
+            if v > self._ids_scanned_to:
+                self._ids_cache.add(self.snapshot(v)["batch_id"])
+                self._ids_scanned_to = v
+        return self._ids_cache
 
     def bucket_col(self):
         """Bucketing expression factory — callers compute

@@ -1,0 +1,74 @@
+"""spark-submit entry point for the CDC ingest pipeline (north_rule ships
+the job via ``spark-submit --py-files``).
+
+Package + submit:
+
+    cd /root/repo && zip -qr /tmp/h2r.zip hierarchical_to_relational_spark
+    spark-submit --master local[32] --py-files /tmp/h2r.zip \\
+        jobs/cdc_ingest_job.py \\
+        --binlog-dir /data/binlog --table /data/transcripts \\
+        --checkpoint /data/ck --mode mor --n-buckets 256 [--stream]
+
+On a real cluster only ``--master``/resource flags change; the engine's
+partitioning (hash buckets on conv_id, one LWW shuffle per batch, AQE skew
+handling) is cluster-size agnostic.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="CDC binlog → transcripts table ingest")
+    p.add_argument("--binlog-dir", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    p.add_argument("--n-buckets", type=int, default=256)
+    p.add_argument("--compact-every", type=int, default=16)
+    p.add_argument("--text-mode", choices=["builtin", "arrow", "none"], default="builtin")
+    p.add_argument("--max-files-per-trigger", type=int, default=16)
+    p.add_argument("--stream", action="store_true",
+                   help="tail via Structured Streaming (availableNow, resumable); "
+                        "default replays the directory as one batch")
+    p.add_argument("--final-compact", action="store_true")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from hierarchical_to_relational_spark.operators.merge import compact
+    from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+
+    spark = SparkSession.builder.appName("h2r-cdc-ingest").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    pipe = CdcPipeline(
+        spark,
+        args.binlog_dir,
+        args.table,
+        args.checkpoint,
+        n_buckets=args.n_buckets,
+        text_mode=args.text_mode,
+        mode=args.mode,
+        compact_every=args.compact_every,
+    )
+    if args.stream:
+        pipe.run_stream(max_files_per_trigger=args.max_files_per_trigger)
+    else:
+        pipe.replay_batch(args.binlog_dir, batch_id="full-replay")
+    if args.final_compact:
+        compact(spark, pipe.table, batch_id="final-compact")
+
+    print(json.dumps({
+        "table_version": pipe.table.current_version(),
+        "applied_lsn_watermark": pipe.lineage.applied_lsn_watermark(),
+        "batches": len(pipe.lineage.entries()),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
