@@ -369,6 +369,18 @@ def q_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON function coverage: parse the props JSON payload, bucket the
+    extracted value, aggregate counts per (event_type, k-bucket)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", (k - F.pmod(k, F.lit(10))).alias("k_bucket"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_string_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/date function coverage: extraction, parsing, formatting."""
     orders = _t(spark, sf_dir, "orders")
@@ -460,6 +472,12 @@ def q_text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (context-window prep)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.chunk_documents(docs, chunk_chars=200, overlap=50)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing over synthesized blobs (text bytes stand in
     for media content): byte length + sha256, all JVM-side."""
@@ -499,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_counts": q_tumbling_counts,
         "rollup_customers": q_rollup_customers,
         "setops_users": q_setops_users,
+        "json_props_stats": q_json_props_stats,
         "string_date_orders": q_string_date_orders,
         "dedup_exact_docs": q_dedup_exact_docs,
         "jaccard_docs": q_jaccard_docs,
@@ -507,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "ann_topk": q_ann_topk,
         "text_profile_docs": q_text_profile_docs,
+        "chunk_docs": q_chunk_docs,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -635,6 +655,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT user_id, 'intersect' AS op FROM (SELECT user_id FROM clicks INTERSECT SELECT user_id FROM buys)
         """,
+        "json_props_stats": """
+            SELECT event_type,
+                   k - (k % 10) AS k_bucket,
+                   count(*) n
+            FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) k FROM events)
+            GROUP BY 1, 2
+        """,
         "string_date_orders": """
             SELECT o_orderkey,
                    CAST(year(o_orderdate) AS INT) o_year,
@@ -750,6 +777,14 @@ def oracle_sql() -> dict[str, str]:
                    round(stopword_ratio, 6) stopword_ratio,
                    lang_guess, round(quality, 6) quality, fingerprint
             FROM langd
+        """,
+        "chunk_docs": """
+            SELECT doc_id, CAST(i AS INT) chunk_idx,
+                   substr(text, CAST(i AS INT) * 150 + 1, 200) chunk
+            FROM (
+              SELECT doc_id, text,
+                     unnest(range(0, greatest(CAST(ceil((length(text) - 50) / 150.0) AS INT), 1))) i
+              FROM documents)
         """,
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS INT) n_bytes, sha256(text) sha

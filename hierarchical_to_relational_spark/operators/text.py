@@ -105,6 +105,36 @@ def rolling_fingerprint(col: Column | str, k: int = 8) -> Column:
     return F.coalesce(mins, F.md5(c))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into overlapping character-window chunks — the
+    context-window preparation step of a training-data pipeline. One row
+    per (doc, chunk) with chunk_idx and chunk text; pure sequence+explode
+    column algebra (one scan, no shuffle, no Python)."""
+    stride = chunk_chars - overlap
+    c = F.col(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.length(c) - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            c.alias("_t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx"),
+            F.substring(F.col("_t"), F.col("chunk_idx") * stride + 1, chunk_chars).alias("chunk"),
+        )
+    )
+
+
 def profile_documents(df: DataFrame, text_col: str = "text", lang: str = "en") -> DataFrame:
     """One-pass corpus profile: token counts, ratios, language, quality,
     fingerprint appended as columns (single scan, zero shuffles)."""

@@ -68,10 +68,14 @@ TRANSCRIPT_SCHEMA = T.StructType(
 
 
 def read_binlog(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """Batch scan of the whole binlog directory."""
-    return spark.read.schema(schema or envelope_schema()).parquet(path)
+    """Batch scan of the whole binlog directory (parquet or json segments —
+    a JSON WAL is what e.g. a Debezium file sink produces)."""
+    return spark.read.schema(schema or envelope_schema()).format(fmt).load(path)
 
 
 def stream_binlog(
@@ -79,14 +83,16 @@ def stream_binlog(
     path: str,
     schema: T.StructType | None = None,
     max_files_per_trigger: int | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """Structured Streaming tail of the binlog directory (file source).
+    """Structured Streaming tail of the binlog directory (file source,
+    parquet or json segments).
 
     New segment files appended by the producer become new micro-batches;
     exactly-once downstream comes from the idempotent batch-id-keyed table
     commit, not from the source.
     """
-    reader = spark.readStream.schema(schema or envelope_schema())
+    reader = spark.readStream.schema(schema or envelope_schema()).format(fmt)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(path)
+    return reader.load(path)

@@ -41,6 +41,7 @@ class CdcPipeline:
         mode: str = "mor",
         compact_every: int = 16,
         collect_stats: bool = True,
+        source_format: str = "parquet",
     ):
         self.spark = spark
         self.binlog_dir = binlog_dir
@@ -49,6 +50,7 @@ class CdcPipeline:
         self.mode = mode
         self.compact_every = compact_every
         self.collect_stats = collect_stats
+        self.source_format = source_format
         self.envelope_schema = envelope_schema or binlog_source.envelope_schema()
 
         if SnapshotTable.exists(table_root):
@@ -81,7 +83,8 @@ class CdcPipeline:
         after new segments land — or leave running with a processing-time
         trigger in production."""
         stream = binlog_source.stream_binlog(
-            self.spark, self.binlog_dir, self.envelope_schema, max_files_per_trigger
+            self.spark, self.binlog_dir, self.envelope_schema, max_files_per_trigger,
+            fmt=self.source_format,
         )
         query = (
             stream.writeStream.foreachBatch(lambda df, bid: self.apply_batch(df, bid))
@@ -95,7 +98,6 @@ class CdcPipeline:
 
     # -- batch replay (bench path): same merge machinery, explicit batches --
     def replay_batch(self, paths_or_dir, batch_id: str) -> dict:
-        env = self.spark.read.schema(self.envelope_schema).parquet(
-            *(paths_or_dir if isinstance(paths_or_dir, list) else [paths_or_dir])
-        )
+        paths = paths_or_dir if isinstance(paths_or_dir, list) else [paths_or_dir]
+        env = self.spark.read.schema(self.envelope_schema).format(self.source_format).load(paths)
         return self.apply_batch(env, batch_id)

@@ -192,8 +192,14 @@ class SnapshotTable:
         ordered = ["_bucket"] + [n for n in schema.fieldNames()]
         out = df.select(*ordered)
         if repartition:
-            # one shuffle so each bucket dir gets few files (not tasks×buckets)
-            out = out.repartition("_bucket")
+            # one shuffle so each bucket dir gets few files (not tasks×buckets).
+            # Salted within the bucket: a zipf-hot conversation can own >15%
+            # of a batch, and repartition on _bucket alone would write that
+            # bucket in ONE task — a serial tail that caps scaling. The salt
+            # spreads a hot bucket across WRITE_SALTS writer tasks (≤ that
+            # many files per bucket dir).
+            salt = F.pmod(F.xxhash64(*[c for c in ordered if c != "_bucket"][:2]), F.lit(8))
+            out = out.repartition(F.col("_bucket"), salt)
         out.write.partitionBy("_bucket").mode("overwrite").parquet(commit_abs)
         written = {
             os.path.basename(p).split("=", 1)[1]

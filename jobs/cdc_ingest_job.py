@@ -30,6 +30,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-buckets", type=int, default=256)
     p.add_argument("--compact-every", type=int, default=16)
     p.add_argument("--text-mode", choices=["builtin", "arrow", "none"], default="builtin")
+    p.add_argument("--source-format", choices=["parquet", "json"], default="parquet")
     p.add_argument("--max-files-per-trigger", type=int, default=16)
     p.add_argument("--stream", action="store_true",
                    help="tail via Structured Streaming (availableNow, resumable); "
@@ -54,6 +55,7 @@ def main(argv: list[str] | None = None) -> int:
         text_mode=args.text_mode,
         mode=args.mode,
         compact_every=args.compact_every,
+        source_format=args.source_format,
     )
     if args.stream:
         pipe.run_stream(max_files_per_trigger=args.max_files_per_trigger)

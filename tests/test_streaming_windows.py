@@ -1,0 +1,74 @@
+"""Structured Streaming event-time operators (SURVEY.md §2.2 streaming
+row): watermarked tumbling-window aggregation over the binlog stream, and a
+JSON-segment source. These complement the engine's primary lateness
+strategy (order-insensitive LWW in the merge) with classic event-time
+windowing for monitoring-style aggregates."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hierarchical_to_relational_spark import datagen
+from hierarchical_to_relational_spark.operators.merge import read_transcripts
+from hierarchical_to_relational_spark.sources.binlog import stream_binlog
+from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+
+SPEC = datagen.BinlogSpec(n_events=200, n_convs=10, seed=33)
+
+
+def test_watermarked_tumbling_window_counts(spark, tmp_path):
+    """readStream → withWatermark → window().count() → memory sink:
+    per-minute change-event counts by op, equal to the batch computation."""
+    d = str(tmp_path / "bl")
+    events = datagen.generate_events(SPEC)
+    datagen.write_binlog(datagen.arrival_order(events, SPEC), d, n_segments=4)
+
+    stream = stream_binlog(spark, d, max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("commit_ts", "10 minutes")
+        .groupBy(F.window("commit_ts", "1 minute").alias("w"), "op")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["w"]["start"], r["op"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    env = spark.read.schema(stream.schema).parquet(d)
+    want = {
+        (r["w"]["start"], r["op"]): r["n"]
+        for r in env.groupBy(F.window("commit_ts", "1 minute").alias("w"), "op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_json_binlog_source(spark, tmp_path):
+    """A JSON-segment WAL (Debezium-file-sink shape) ingests identically."""
+    pq_dir, js_dir = str(tmp_path / "pq"), str(tmp_path / "js")
+    events = datagen.generate_events(SPEC)
+    datagen.write_binlog(datagen.arrival_order(events, SPEC), pq_dir, n_segments=2)
+    env = spark.read.schema(stream_binlog(spark, pq_dir).schema).parquet(pq_dir)
+    env.coalesce(1).write.json(js_dir)
+
+    pipe = CdcPipeline(spark, js_dir, str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=4, text_mode="none", source_format="json")
+    pipe.run_stream(max_files_per_trigger=4)
+    got = (
+        read_transcripts(spark, pipe.table)
+        .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+    want = datagen.expected_state(events)
+    pd.testing.assert_frame_equal(
+        got.astype({"turn_idx": "int64"}), want.astype({"turn_idx": "int64"}), check_dtype=False
+    )
