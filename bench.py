@@ -78,7 +78,7 @@ def bench_cdc(spark, n_events: int, n_batches: int, work_dir: str) -> dict:
     # (a production replay amortizes this over hours; steady-state
     # throughput is the metric)
     warm = CdcPipeline(spark, binlog, os.path.join(work_dir, "warm-t"),
-                       os.path.join(work_dir, "warm-ck"), n_buckets=32, text_mode="builtin")
+                       os.path.join(work_dir, "warm-ck"), n_buckets=32, text_mode=os.environ.get("BENCH_TEXT_MODE", "arrow"))
     warm.replay_batch(segs[:1], "warmup")
 
     pipe = CdcPipeline(
@@ -87,7 +87,7 @@ def bench_cdc(spark, n_events: int, n_batches: int, work_dir: str) -> dict:
         os.path.join(work_dir, "transcripts"),
         os.path.join(work_dir, "ck"),
         n_buckets=32,
-        text_mode="builtin",
+        text_mode=os.environ.get("BENCH_TEXT_MODE", "arrow"),
     )
     per = max(len(segs) // n_batches, 1)
     t0 = time.monotonic()

@@ -34,11 +34,14 @@ from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
 
 def lww_latest(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
     """Keep, per key, the row with the maximum (order_cols) — via
-    ``max_by(struct(payload), struct(order))`` hash aggregation.
+    ``max_by(struct(payload), struct(order))`` two-phase aggregation.
 
     Preferred over ``row_number() OVER (PARTITION BY keys ORDER BY ...)``
-    at scale: hash agg does map-side partial combine (hot keys collapse
-    before the shuffle) and avoids the window's per-partition sort.
+    at scale because of the map-side partial combine: hot keys collapse
+    BEFORE the exchange, so only one partial row per (key, input partition)
+    shuffles — a window shuffles every input row and has no combine.
+    (Spark physically plans the struct-buffered max_by as SortAggregate;
+    the partial/final split is what matters.)
     """
     payload = [c for c in df.columns if c not in keys]
     packed = df.groupBy(*keys).agg(
