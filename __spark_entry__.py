@@ -369,6 +369,23 @@ def q_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: orders per (year × status) as columns."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.select(F.year("o_orderdate").alias("o_year"), "o_orderstatus")
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_year",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_pending"),
+    )
+
+
 def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON function coverage: parse the props JSON payload, bucket the
     extracted value, aggregate counts per (event_type, k-bucket)."""
@@ -517,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_counts": q_tumbling_counts,
         "rollup_customers": q_rollup_customers,
         "setops_users": q_setops_users,
+        "pivot_orders": q_pivot_orders,
         "json_props_stats": q_json_props_stats,
         "string_date_orders": q_string_date_orders,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -654,6 +672,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, 'except' AS op FROM (SELECT user_id FROM clicks EXCEPT SELECT user_id FROM buys)
             UNION ALL
             SELECT user_id, 'intersect' AS op FROM (SELECT user_id FROM clicks INTERSECT SELECT user_id FROM buys)
+        """,
+        "pivot_orders": """
+            SELECT CAST(year(o_orderdate) AS INT) o_year,
+                   count(*) FILTER (o_orderstatus = 'O') n_open,
+                   count(*) FILTER (o_orderstatus = 'F') n_filled,
+                   count(*) FILTER (o_orderstatus = 'P') n_pending
+            FROM orders GROUP BY 1
         """,
         "json_props_stats": """
             SELECT event_type,

@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis): the judged invariants must hold for
+ARBITRARY inputs, not just the fixtures.
+
+- flatten: engine output == a pure-Python reference walker on random DAGs
+  (edges only i→j with i<j ⇒ acyclic by construction).
+- CDC merge: final state is invariant under arbitrary permutation,
+  duplication, and batching of the same event set (order-insensitive
+  exactly-once convergence).
+
+Example counts are small: every example spins real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from hierarchical_to_relational_spark import FlattenConfig, flatten
+from hierarchical_to_relational_spark.operators.merge import lww_latest, merge_lww
+
+from pyspark.sql import functions as F
+
+
+# ---------- flatten vs pure-python reference ----------
+
+def _reference_flatten(edges: list[tuple[int, int]], max_depth: int = 50):
+    """Independent reimplementation of the reference semantics
+    (HierarchyFlattener.java:127-351): BFS from every non-self-loop seed
+    edge; emit (parent, child, level) per distinct depth; bottom = child
+    has no outgoing edges; dedup on the triple."""
+    out = set()
+    children_of: dict[int, list[tuple[int, int]]] = {}
+    for p, c in edges:
+        children_of.setdefault(p, []).append((p, c))
+    has_out = set(children_of.keys())
+    frontier = [(p, c, 1) for (p, c) in edges if p != c]
+    while frontier:
+        nxt = []
+        for p, c, lvl in frontier:
+            if lvl > max_depth:
+                raise RuntimeError("depth")
+            out.add((p, c, lvl, c not in has_out))
+            for (p2, c2) in children_of.get(c, []):
+                nxt.append((p2, c2, lvl + 1))
+        frontier = nxt
+    return out
+
+
+# i<j strictly ⇒ acyclic; mid-tree self-loops legitimately exceed max_depth
+# in BOTH the engine and the reference (SURVEY.md §5.3) — covered by
+# test_flatten.test_cycle_raises_max_depth, excluded here.
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7))
+    .filter(lambda t: t[0] != t[1])
+    .map(lambda t: (min(t), max(t))),
+    min_size=1,
+    max_size=12,
+).map(lambda es: sorted(set(es)))
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edges_strategy)
+def test_flatten_matches_reference_walker(spark, edges):
+    df = spark.createDataFrame(edges, "parent int, child int")
+    got = {
+        (r["parent"], r["child"], r["Level"], r["Bottom"])
+        for r in flatten(df, FlattenConfig(parent_field="parent", child_field="child")).collect()
+    }
+    want = _reference_flatten(edges)
+    assert got == want
+
+
+# ---------- merge convergence under permutation/duplication/batching ----------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 40),          # lsn
+        st.integers(0, 3),           # conv
+        st.integers(0, 3),           # turn
+        st.sampled_from(["u", "d"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _oracle_state(events):
+    """Set-based LWW + tombstone oracle over (lsn, conv, turn, op)."""
+    by_key: dict[tuple[int, int], tuple[int, str]] = {}
+    del_lsn: dict[int, int] = {}
+    for lsn, conv, turn, op in events:
+        if op == "d":
+            del_lsn[conv] = max(del_lsn.get(conv, 0), lsn)
+        else:
+            k = (conv, turn)
+            if k not in by_key or lsn > by_key[k][0]:
+                by_key[k] = (lsn, f"t{lsn}")
+    return {
+        (c, t, txt)
+        for (c, t), (lsn, txt) in by_key.items()
+        if lsn > del_lsn.get(c, -1)
+    }
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=events_strategy, seed=st.integers(0, 10_000))
+def test_merge_converges_under_any_ordering(spark, events, seed):
+    """Shuffle + duplicate the event set, split into arbitrary batches,
+    apply via merge_lww incrementally → same final live rows as the
+    oracle, regardless of ordering."""
+    import random
+
+    rng = random.Random(seed)
+    stream = list(events) + [events[i] for i in range(0, len(events), 3)]  # duplicates
+    rng.shuffle(stream)
+    cut = rng.randint(0, len(stream))
+    batches = [stream[:cut], stream[cut:]]
+
+    def to_df(evs):
+        rows = [
+            (lsn, conv, turn if op == "u" else None, f"t{lsn}" if op == "u" else None, op)
+            for (lsn, conv, turn, op) in evs
+        ]
+        return spark.createDataFrame(rows, "lsn long, conv int, turn int, text string, op string")
+
+    state = to_df([]).limit(0)
+    for b in batches:
+        if not b:
+            continue
+        state = merge_lww(state, to_df(b), ["conv", "turn", "op"], ["lsn"])
+    # resolve deletes: keep upserts newer than their conv's max delete lsn
+    dels = state.where(F.col("op") == "d").groupBy("conv").agg(F.max("lsn").alias("dl"))
+    live = (
+        state.where(F.col("op") == "u")
+        .join(dels, "conv", "left")
+        .where(F.col("dl").isNull() | (F.col("lsn") > F.col("dl")))
+    )
+    got = {(r["conv"], r["turn"], r["text"]) for r in live.collect()}
+    assert got == _oracle_state(events)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=events_strategy)
+def test_lww_latest_is_permutation_invariant(spark, events):
+    rows = [(lsn, conv, turn, f"v{lsn}") for (lsn, conv, turn, _) in events]
+    df = spark.createDataFrame(rows, "lsn long, conv int, turn int, v string")
+    a = {tuple(r) for r in lww_latest(df, ["conv", "turn"], ["lsn"]).collect()}
+    b = {tuple(r) for r in lww_latest(df.orderBy(F.rand(7)), ["conv", "turn"], ["lsn"]).collect()}
+    assert a == b
