@@ -190,15 +190,29 @@ def apply_cdc_batch(
     }
 
 
-def compact(spark: SparkSession, table: SnapshotTable, batch_id: str) -> bool:
+def compact(
+    spark: SparkSession,
+    table: SnapshotTable,
+    batch_id: str,
+    expire_tombstones_below: int | None = None,
+) -> bool:
     """Fold merge-on-read deltas down: read + resolve every live bucket,
     rewrite copy-on-write. Amortized over many appends; idempotent on
-    batch_id like any commit."""
+    batch_id like any commit.
+
+    ``expire_tombstones_below``: GC tombstone rows whose delete LSN is below
+    this watermark — safe once the source guarantees no event with a lower
+    LSN can still arrive (e.g. the binlog's retention horizon). Bounds the
+    tombstone set over an unbounded stream; live rows are never touched."""
     schema = table.schema()
     live_buckets = [int(b) for b in table.snapshot()["live"].keys()]
     if not live_buckets:
         return False
     resolved = resolve(table.read(spark), schema)
+    if expire_tombstones_below is not None:
+        resolved = resolved.where(
+            (F.col(META_OP) != "d") | (F.col(META_LSN) >= F.lit(expire_tombstones_below))
+        )
     return table.commit_overwrite_buckets(resolved, live_buckets, batch_id=batch_id)
 
 

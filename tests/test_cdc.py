@@ -215,3 +215,24 @@ def test_mor_compaction_preserves_state(spark, tmp_path, binlog):
     _assert_matches_oracle(spark, pipe, binlog["events"])
     # compaction replay is a no-op
     assert compact(spark, pipe.table, "compact-1") is False
+
+
+def test_tombstone_gc_on_compaction(spark, tmp_path, binlog):
+    """Compaction with a retention watermark drops old tombstone rows but
+    never live rows; resolved user-facing state is unchanged."""
+    from hierarchical_to_relational_spark.operators.merge import compact
+    from pyspark.sql import functions as F
+
+    pipe = CdcPipeline(spark, binlog["dir"], str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=8, text_mode="none")
+    for i, p in enumerate(binlog["paths"]):
+        pipe.replay_batch(p, f"seg-{i}")
+    before = _final_state(spark, pipe.table)
+    raw = pipe.table.read(spark)
+    n_tomb_before = raw.where(F.col("_op") == "d").count()
+    assert n_tomb_before > 0
+    max_lsn = int(binlog["events"]["lsn"].max())
+    assert compact(spark, pipe.table, "gc", expire_tombstones_below=max_lsn + 1) is True
+    raw2 = pipe.table.read(spark)
+    assert raw2.where(F.col("_op") == "d").count() == 0
+    pd.testing.assert_frame_equal(before, _final_state(spark, pipe.table))
