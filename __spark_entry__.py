@@ -269,6 +269,44 @@ def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue per (order, date, priority)
+    for one market segment, top 10 by revenue."""
+    customer, orders, lineitem = (_t(spark, sf_dir, n) for n in ("customer", "orders", "lineitem"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .where(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where supplier and customer share
+    the nation, one region, one year."""
+    customer, orders, lineitem, supplier, nation, region = (
+        _t(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        region.where(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .where(F.year("o_orderdate") == 1995)
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("double").alias("revenue"))
+    )
+
+
 def q_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join with broadcast dims: revenue + customers per region."""
     orders, customer, nation, region = (
@@ -527,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_roundtrip": q_normalize_roundtrip,
         "cdc_replay": q_cdc_replay,
         "agg_pricing": q_agg_pricing,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
         "join_region_revenue": q_join_region_revenue,
         "semi_anti_customers": q_semi_anti_customers,
         "window_top_orders": q_window_top_orders,
@@ -609,6 +649,31 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_orderkey) n_orders
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) revenue
+            FROM region JOIN nation ON n_regionkey = r_regionkey
+                        JOIN customer ON c_nationkey = n_nationkey
+                        JOIN orders ON o_custkey = c_custkey
+                        JOIN lineitem ON l_orderkey = o_orderkey
+                        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA' AND year(o_orderdate) = 1995
+            GROUP BY n_name
         """,
         "join_region_revenue": """
             SELECT r_name AS region,

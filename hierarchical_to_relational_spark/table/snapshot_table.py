@@ -232,23 +232,30 @@ class SnapshotTable:
                         nulls += st.null_count
         return {"rows_written": rows, "max_lsn": max_lsn, "deletes": nulls, "upserts": rows - nulls}
 
-    def _commit(self, batch_id: str, schema: T.StructType, live: dict) -> bool:
-        cur = self.snapshot()
-        snap = {
-            "version": cur["version"] + 1,
-            "batch_id": batch_id,
-            "schema": schema.json(),
-            "n_buckets": cur["n_buckets"],
-            "live": live,
-        }
-        try:
-            self._write_snapshot(snap)
-        except CommitConflictError:
-            # lost a race; data files become orphans. Re-check idempotence.
+    def _commit(self, batch_id: str, schema: T.StructType, update_live, retries: int = 20) -> bool:
+        """Optimistic-concurrency commit (Iceberg-style): build the new
+        ``live`` mapping from the CURRENT snapshot via ``update_live(live)``,
+        try to exclusively create the next version file; on losing the race,
+        re-read and retry — the data files are already on disk, only the
+        pointer swap repeats. Idempotence on batch_id is re-checked every
+        attempt (the winner may have been our own batch replayed)."""
+        for _ in range(retries):
             if batch_id in self.committed_batch_ids():
                 return False
-            raise
-        return True
+            cur = self.snapshot()
+            snap = {
+                "version": cur["version"] + 1,
+                "batch_id": batch_id,
+                "schema": schema.json(),
+                "n_buckets": cur["n_buckets"],
+                "live": update_live({b: list(ds) for b, ds in cur["live"].items()}),
+            }
+            try:
+                self._write_snapshot(snap)
+                return True
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(f"gave up committing {batch_id!r} after {retries} attempts")
 
     def _resolve_schema(self, new_schema: T.StructType | None) -> T.StructType:
         cur_schema = self.schema()
@@ -277,14 +284,21 @@ class SnapshotTable:
             return False
         schema = self._resolve_schema(new_schema)
         commit_rel, written = self._write_commit_data(df, schema, repartition=True)
-        live = {b: list(ds) for b, ds in self.snapshot()["live"].items()}
-        for b in buckets:
-            b = str(b)
-            if b in written:
-                live[b] = [commit_rel]
-            else:
-                live.pop(b, None)  # bucket emptied by this batch (all rows deleted)
-        return self._commit(batch_id, schema, live)
+
+        def update(live: dict) -> dict:
+            for b in buckets:
+                key = str(b)
+                if key in written:
+                    live[key] = [commit_rel]
+                else:
+                    live.pop(key, None)  # bucket emptied (all rows deleted)
+            return live
+
+        # NOTE: overwrite re-points the listed buckets blindly on retry —
+        # correct for this engine's single-stream writer (one merge/compactor
+        # per table); concurrent APPENDS interleaved with it are preserved
+        # only if they land first. commit_append is the safely-concurrent op.
+        return self._commit(batch_id, schema, update)
 
     def commit_append(
         self,
@@ -303,10 +317,13 @@ class SnapshotTable:
         # repartition even for appends: batches are small and this keeps
         # files-per-bucket at one instead of tasks×buckets
         commit_rel, written = self._write_commit_data(df, schema, repartition=True)
-        live = {b: list(ds) for b, ds in self.snapshot()["live"].items()}
-        for b in written:
-            live.setdefault(b, []).append(commit_rel)
-        return self._commit(batch_id, schema, live)
+
+        def update(live: dict) -> dict:
+            for b in written:
+                live.setdefault(b, []).append(commit_rel)
+            return live
+
+        return self._commit(batch_id, schema, update)
 
     def delta_depth(self) -> int:
         """Max commit dirs stacked on any bucket (compaction trigger)."""
@@ -317,19 +334,9 @@ class SnapshotTable:
         """Metadata-only additive widening (no data rewrite)."""
         if batch_id in self.committed_batch_ids():
             return False
-        cur = self.snapshot()
-        schema = T.StructType.fromJson(json.loads(cur["schema"]))
+        schema = self.schema()
         existing = set(schema.fieldNames())
         for fld in add_fields:
             if fld.name not in existing:
                 schema = schema.add(T.StructField(fld.name, fld.dataType, True))
-        self._write_snapshot(
-            {
-                "version": cur["version"] + 1,
-                "batch_id": batch_id,
-                "schema": schema.json(),
-                "n_buckets": cur["n_buckets"],
-                "live": cur["live"],
-            }
-        )
-        return True
+        return self._commit(batch_id, schema, lambda live: live)

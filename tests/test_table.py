@@ -130,3 +130,29 @@ def test_time_travel(spark, tmp_path):
     t.commit_overwrite_buckets(d2, _buckets(d2), "b2")
     assert t.read(spark).select("v").collect()[0][0] == 2
     assert t.read(spark, version=v1).select("v").collect()[0][0] == 1
+
+
+def test_concurrent_appends_both_commit(spark, tmp_path):
+    """Two writers appending different batches race on the snapshot
+    version; optimistic retry preserves BOTH (no lost update, distinct
+    versions, union of rows visible)."""
+    import threading
+
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    d1 = _bucketed(spark, t, [(f"a{i}", i) for i in range(10)])
+    d2 = _bucketed(spark, t, [(f"b{i}", i) for i in range(10)])
+    # pre-write both commits' data, then race only the pointer swap: two
+    # handles so the in-memory batch-id caches don't serialize the race
+    t1, t2 = SnapshotTable(t.root), SnapshotTable(t.root)
+    results = {}
+
+    def go(handle, df, bid):
+        results[bid] = handle.commit_append(df, batch_id=bid)
+
+    th1 = threading.Thread(target=go, args=(t1, d1, "w1"))
+    th2 = threading.Thread(target=go, args=(t2, d2, "w2"))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert results == {"w1": True, "w2": True}
+    out = {r["k"] for r in t.read(spark).select("k").collect()}
+    assert out == {f"a{i}" for i in range(10)} | {f"b{i}" for i in range(10)}
+    assert t.current_version() == 2
