@@ -111,7 +111,7 @@ def main() -> None:
 ({n_events} physical change events ≈ {int(n_events*3.4)} turn rows; zipf-skewed
 conversations where the hottest conversation owns >15% of all rows; 5%
 duplicate events; fully shuffled arrival; {batches} micro-batches of
-normalize (explode + regexp text cleanup) → bucketed LWW merge-on-read with
+normalize (explode + vectorized Arrow pandas_udf text cleanup — the north-star normalize path) → bucketed LWW merge-on-read with
 tombstones → salted bucket-partitioned write → idempotent snapshot commit +
 footer-derived lineage metrics) — identical input at every level, fresh JVM
 per run, CPUs pinned with taskset so JVM helper threads cannot borrow cores.
