@@ -458,7 +458,10 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    # doc_id < 200 includes known near-dup pairs (e.g. jaccard ~0.96-0.99 at
+    # sf0.01), so the oracle gate is non-vacuous: both engines must return the
+    # same >0 pair set, not trivially-equal empty results.
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.4)
 
 
@@ -714,8 +717,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM g),
             s AS (
                 SELECT user_id, ts,
-                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) session_id
+                       -- CAST: DuckDB windowed sum yields HUGEINT -> Arrow decimal128,
+                       -- which the driver value-hash sees as a different type than
+                       -- Spark's BIGINT even when values are equal.
+                       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) session_id
                 FROM m)
             SELECT user_id, session_id, count(*) n_events, min(ts) start_ts, max(ts) end_ts
             FROM s GROUP BY user_id, session_id
@@ -766,7 +772,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(CAST(text AS VARCHAR))
         """,
         "jaccard_docs": """
-            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
             post AS (SELECT DISTINCT doc_id, shingle FROM (
                      SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
                                            i -> substr(text, CAST(i AS INT), 5))) AS shingle

@@ -45,7 +45,12 @@ def compare(name, spark_df, con, sql):
     t0 = time.time()
     rel = con.sql(sql)
     d_cols = [c.lower() for c in rel.columns]
-    d_rows = rel.fetchall()
+    # Fetch via Arrow, not fetchall(): the driver's gate serializes DuckDB
+    # results through Arrow, where e.g. a windowed SUM's HUGEINT surfaces as
+    # decimal128 (not a Python int). fetchall() hides that type drift; this
+    # path reproduces it so a local OK implies a driver hash_match.
+    tbl = rel.arrow()
+    d_rows = [tuple(d[c] for c in tbl.column_names) for d in tbl.to_pylist()]
     t_duck = time.time() - t0
 
     issues = []
