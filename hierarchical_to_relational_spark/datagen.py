@@ -128,8 +128,16 @@ def _turn_type(evolved: bool) -> pa.StructType:
     return pa.struct(fields)
 
 
-def write_binlog(stream: pd.DataFrame, out_dir: str, n_segments: int = 8, evolved: bool = False) -> list[str]:
-    """Write the arrival stream as parquet WAL segments (envelope schema)."""
+def write_binlog(
+    stream: pd.DataFrame,
+    out_dir: str,
+    n_segments: int = 8,
+    evolved: bool = False,
+    start_segment: int = 0,
+) -> list[str]:
+    """Write the arrival stream as parquet WAL segments (envelope schema).
+    ``start_segment`` offsets the file numbering so late segments can be
+    appended to an existing binlog directory without clobbering."""
     os.makedirs(out_dir, exist_ok=True)
     payload_type = pa.struct([pa.field("turns", pa.list_(_turn_type(evolved)), nullable=True)])
     schema = pa.schema(
@@ -158,7 +166,7 @@ def write_binlog(stream: pd.DataFrame, out_dir: str, n_segments: int = 8, evolve
             },
             schema=schema,
         )
-        path = os.path.join(out_dir, f"segment-{s:05d}.parquet")
+        path = os.path.join(out_dir, f"segment-{start_segment + s:05d}.parquet")
         pq.write_table(tbl, path)
         paths.append(path)
     return paths

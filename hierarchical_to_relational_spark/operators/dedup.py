@@ -208,11 +208,14 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, sim_bits: int
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two double-array columns (JVM higher-order
-    functions — no Python)."""
+    functions — no Python). Zero-norm vectors yield NULL, not NaN: Spark
+    orders NaN above every number, so an unguarded 0/0 would make zero
+    vectors pass every ``cos >= threshold`` filter."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot / denom)
 
 
 def embedding_near_dup_pairs(
@@ -221,10 +224,18 @@ def embedding_near_dup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     block_col: Column | None = None,
+    verify_all_pairs: bool = False,
 ) -> DataFrame:
-    """Pairs (id1 < id2) with cosine ≥ threshold. All-pairs within optional
-    blocking column (pass an LSH bucket / label to avoid the full cross
-    join at scale)."""
+    """Pairs (id1 < id2) with cosine ≥ threshold, all-pairs WITHIN a
+    blocking column. By default the block is the hyperplane-LSH sign bucket
+    (operators.similarity.hyperplane_bucket) — at corpus scale an unblocked
+    self-join is a cross join, so that footgun is opt-in: pass
+    ``verify_all_pairs=True`` for the exact O(n²) verification form, or a
+    custom ``block_col`` (e.g. a language/label column)."""
+    if block_col is None and not verify_all_pairs:
+        from hierarchical_to_relational_spark.operators.similarity import hyperplane_bucket
+
+        block_col = hyperplane_bucket(F.col(vec_col).cast("array<double>"))
     d = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"),
                   *( [block_col.alias("_blk")] if block_col is not None else [] ))
     a, b = d.alias("a"), d.alias("b")

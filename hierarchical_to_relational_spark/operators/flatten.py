@@ -63,8 +63,13 @@ def _seed(df: DataFrame, cfg: FlattenConfig) -> DataFrame:
     cols.append(F.lit(1).alias(cfg.level_field))
     cols.append(F.lit(0).alias(cfg.bottom_field))
     if cfg.has_path:
+        # format_string, not concat: the reference renders a NULL path value
+        # as the literal "null" (HierarchyFlattener.java:179-181 uses
+        # String.format); concat would null the whole path instead.
         cols.append(
-            F.concat(F.lit(cfg.path_separator), F.col(cfg.path_field).cast("string")).alias(cfg.path_alias_field)
+            F.format_string(
+                "%s%s", F.lit(cfg.path_separator), F.col(cfg.path_field).cast("string")
+            ).alias(cfg.path_alias_field)
         )
     for src, alias in cfg.connect_by_root_map.items():
         cols.append(F.col(src).alias(alias))
@@ -86,13 +91,19 @@ def _advance(frontier: DataFrame, edges: DataFrame, cfg: FlattenConfig, data_fie
     for name in data_fields:
         cols.append(F.when(hit, F.col(f"inp.{name}")).otherwise(F.col(f"cur.{name}")).alias(name))
     if cfg.has_path:
+        # format_string (not concat_ws, which SKIPS nulls): a NULL path value
+        # must append the literal "null" to match the reference's
+        # String.format-based path building (HierarchyFlattener.java:179-181).
         cols.append(
             F.when(
                 hit,
-                F.concat_ws(
-                    cfg.path_separator,
+                F.concat(
                     F.col(f"cur.{cfg.path_alias_field}"),
-                    F.col(f"inp.{cfg.path_field}").cast("string"),
+                    F.format_string(
+                        "%s%s",
+                        F.lit(cfg.path_separator),
+                        F.col(f"inp.{cfg.path_field}").cast("string"),
+                    ),
                 ),
             )
             .otherwise(F.col(f"cur.{cfg.path_alias_field}"))
@@ -126,22 +137,32 @@ def flatten(df: DataFrame, cfg: FlattenConfig) -> DataFrame:
     edges = df.persist(StorageLevel.MEMORY_AND_DISK)
     join_side = F.broadcast(edges) if cfg.broadcast_input else edges
 
-    frontier = _seed(df, cfg)
-    levels: list[DataFrame] = [frontier]
-    level = 1
-    while not frontier.isEmpty():
-        if level > cfg.max_depth:
-            raise MaxDepthExceededError(
-                f"Exceeded maximum depth of {cfg.max_depth}. Ensure there are no "
-                "cycles in the hierarchy, or increase max_depth."
-            )
-        nxt = _advance(frontier, join_side, cfg, data_fields)
-        if level % cfg.checkpoint_every == 0:
-            # truncate lineage: without this, level k's plan nests k joins
-            nxt = nxt.localCheckpoint(eager=True)
-        levels.append(nxt)
-        frontier = nxt.where(F.col(cfg.bottom_field) != 1)
-        level += 1
+    try:
+        frontier = _seed(df, cfg)
+        levels: list[DataFrame] = [frontier]
+        level = 1
+        while not frontier.isEmpty():
+            if level > cfg.max_depth:
+                raise MaxDepthExceededError(
+                    f"Exceeded maximum depth of {cfg.max_depth}. Ensure there are no "
+                    "cycles in the hierarchy, or increase max_depth."
+                )
+            nxt = _advance(frontier, join_side, cfg, data_fields)
+            if level % cfg.checkpoint_every == 0:
+                # truncate lineage: without this, level k's plan nests k joins
+                nxt = nxt.localCheckpoint(eager=True)
+            levels.append(nxt)
+            frontier = nxt.where(F.col(cfg.bottom_field) != 1)
+            level += 1
+    finally:
+        # the fixpoint loop is the only consumer of the cache: with the
+        # default checkpoint_every=1 every level is an eager localCheckpoint,
+        # so the returned plan no longer references edges and repeated
+        # flatten() calls in a long session don't accumulate cached RDDs.
+        # (With checkpoint_every=k>1, up to k-1 trailing levels recompute
+        # from the last checkpoint on final materialization — bounded cost,
+        # correctness unaffected.)
+        edges.unpersist(blocking=False)
 
     out = levels[0]
     for lv in levels[1:]:

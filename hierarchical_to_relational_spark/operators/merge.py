@@ -29,7 +29,10 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from hierarchical_to_relational_spark.operators.normalize import META_BUCKET, META_LSN, META_OP, META_TS
-from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
+from hierarchical_to_relational_spark.table.snapshot_table import (
+    ConcurrentOverwriteError,
+    SnapshotTable,
+)
 
 
 def lww_latest(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
@@ -166,9 +169,10 @@ def apply_cdc_batch(
         batch = batch.persist()
         buckets = sorted(r[0] for r in batch.select(META_BUCKET).distinct().collect())
         if buckets:
-            current = table.read(spark, buckets=buckets)
-            resolved = resolve(batch.unionByName(current, allowMissingColumns=True), schema)
-            committed = table.commit_overwrite_buckets(resolved, buckets, batch_id=batch_id)
+            committed = _overwrite_resolved(
+                spark, table, schema, buckets, batch_id,
+                lambda current: resolve(batch.unionByName(current, allowMissingColumns=True), schema),
+            )
         else:
             committed = False
         batch.unpersist()
@@ -190,6 +194,36 @@ def apply_cdc_batch(
     }
 
 
+def _overwrite_resolved(
+    spark: SparkSession,
+    table: SnapshotTable,
+    schema: T.StructType,
+    buckets: list[int],
+    batch_id: str,
+    resolve_fn,
+    retries: int = 5,
+) -> bool:
+    """Copy-on-write commit loop with concurrent-writer validation: read the
+    listed buckets AT a pinned version, resolve via ``resolve_fn(current)``,
+    and commit against that base version. Deltas appended meanwhile are
+    merged into the new live entry by the table; a racing OVERWRITE raises
+    ``ConcurrentOverwriteError`` and we re-read + re-resolve from the new
+    state (the losing attempt's data files become unreferenced orphans)."""
+    for _ in range(retries):
+        base_v = table.current_version()
+        current = table.read(spark, buckets=buckets, version=base_v)
+        resolved = resolve_fn(current)
+        try:
+            return table.commit_overwrite_buckets(
+                resolved, buckets, batch_id=batch_id, base_version=base_v
+            )
+        except ConcurrentOverwriteError:
+            continue
+    raise ConcurrentOverwriteError(
+        f"gave up overwriting buckets for {batch_id!r} after {retries} re-reads"
+    )
+
+
 def compact(
     spark: SparkSession,
     table: SnapshotTable,
@@ -208,12 +242,16 @@ def compact(
     live_buckets = [int(b) for b in table.snapshot()["live"].keys()]
     if not live_buckets:
         return False
-    resolved = resolve(table.read(spark), schema)
-    if expire_tombstones_below is not None:
-        resolved = resolved.where(
-            (F.col(META_OP) != "d") | (F.col(META_LSN) >= F.lit(expire_tombstones_below))
-        )
-    return table.commit_overwrite_buckets(resolved, live_buckets, batch_id=batch_id)
+
+    def resolve_fn(current: DataFrame) -> DataFrame:
+        resolved = resolve(current, schema)
+        if expire_tombstones_below is not None:
+            resolved = resolved.where(
+                (F.col(META_OP) != "d") | (F.col(META_LSN) >= F.lit(expire_tombstones_below))
+            )
+        return resolved
+
+    return _overwrite_resolved(spark, table, schema, live_buckets, batch_id, resolve_fn)
 
 
 def read_transcripts(

@@ -97,7 +97,37 @@ class CdcPipeline:
         return query
 
     # -- batch replay (bench path): same merge machinery, explicit batches --
-    def replay_batch(self, paths_or_dir, batch_id: str) -> dict:
+    def replay_batch(self, paths_or_dir, batch_id: str | None = None) -> dict:
+        """Replay the given segment files/dirs as one batch. With
+        ``batch_id=None`` the id is derived from the input file listing
+        (names + sizes), so re-running after NEW segments land is a new
+        batch that gets applied, while re-running on identical input stays
+        an idempotent no-op — a fixed id would silently skip new data."""
         paths = paths_or_dir if isinstance(paths_or_dir, list) else [paths_or_dir]
+        if batch_id is None:
+            batch_id = derive_replay_batch_id(paths)
         env = self.spark.read.schema(self.envelope_schema).format(self.source_format).load(paths)
         return self.apply_batch(env, batch_id)
+
+
+def derive_replay_batch_id(paths: list[str]) -> str:
+    """Content-addressed batch id for a directory replay: sha256 over the
+    sorted (relative-name, size) listing of every file under ``paths``.
+    Segments are immutable and append-only, so the listing identifies the
+    input set without reading data."""
+    import hashlib
+    import os
+
+    entries: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue
+                    full = os.path.join(root, f)
+                    entries.append(f"{os.path.relpath(full, p)}:{os.path.getsize(full)}")
+        elif os.path.exists(p):
+            entries.append(f"{os.path.basename(p)}:{os.path.getsize(p)}")
+    digest = hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+    return f"replay-{digest}"

@@ -53,6 +53,13 @@ class CommitConflictError(RuntimeError):
     pass
 
 
+class ConcurrentOverwriteError(RuntimeError):
+    """A bucket this overwrite wants to replace was itself overwritten (or
+    rewritten in a non-append way) since the base version the rewrite was
+    computed from. The caller must re-read and re-resolve — retrying the
+    pointer swap alone would drop the other writer's data."""
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
@@ -272,32 +279,53 @@ class SnapshotTable:
         buckets: list[int],
         batch_id: str,
         new_schema: T.StructType | None = None,
+        base_version: int | None = None,
     ) -> bool:
         """Copy-on-write commit: replace the listed buckets' contents with
         ``df`` (which must carry a ``_bucket`` column and only rows in those
         buckets). Returns False (no-op) if ``batch_id`` was already
         committed — the idempotence/exactly-once primitive.
 
+        ``base_version`` is the snapshot version the rewrite was computed
+        from (callers should ``read(version=v)`` and pass the same ``v``).
+        Concurrent-writer safety (Iceberg-style validation): at pointer-swap
+        time each listed bucket's dir list is compared to the base —
+
+        - unchanged → replaced by the rewrite;
+        - grown by appended deltas → the rewrite PLUS the unseen delta dirs
+          become the new entry (correct because readers LWW-resolve:
+          resolve(rewrite ∪ delta) == resolve(base ∪ batch ∪ delta));
+        - changed any other way (a racing overwrite) →
+          ``ConcurrentOverwriteError`` — the caller must re-read+re-resolve.
+
         ``new_schema`` (additive only) widens the table schema in the same
         atomic snapshot."""
         if batch_id in self.committed_batch_ids():
             return False
+        if base_version is None:
+            base_version = self.current_version()
+        base_live: dict[str, list[str]] = self.snapshot(base_version)["live"]
         schema = self._resolve_schema(new_schema)
         commit_rel, written = self._write_commit_data(df, schema, repartition=True)
 
         def update(live: dict) -> dict:
             for b in buckets:
                 key = str(b)
-                if key in written:
-                    live[key] = [commit_rel]
+                cur_dirs = live.get(key, [])
+                base_dirs = base_live.get(key, [])
+                if cur_dirs[: len(base_dirs)] != base_dirs:
+                    raise ConcurrentOverwriteError(
+                        f"bucket {key} changed non-append-wise since base "
+                        f"v{base_version}; re-read and re-resolve"
+                    )
+                unseen = cur_dirs[len(base_dirs):]  # deltas landed after our read
+                new_dirs = ([commit_rel] if key in written else []) + unseen
+                if new_dirs:
+                    live[key] = new_dirs
                 else:
                     live.pop(key, None)  # bucket emptied (all rows deleted)
             return live
 
-        # NOTE: overwrite re-points the listed buckets blindly on retry —
-        # correct for this engine's single-stream writer (one merge/compactor
-        # per table); concurrent APPENDS interleaved with it are preserved
-        # only if they land first. commit_append is the safely-concurrent op.
         return self._commit(batch_id, schema, update)
 
     def commit_append(

@@ -35,6 +35,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--stream", action="store_true",
                    help="tail via Structured Streaming (availableNow, resumable); "
                         "default replays the directory as one batch")
+    p.add_argument("--batch-id", default=None,
+                   help="batch mode only: explicit idempotence key; default derives "
+                        "one from the input segment listing so new segments re-apply")
     p.add_argument("--final-compact", action="store_true")
     args = p.parse_args(argv)
 
@@ -60,7 +63,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.stream:
         pipe.run_stream(max_files_per_trigger=args.max_files_per_trigger)
     else:
-        pipe.replay_batch(args.binlog_dir, batch_id="full-replay")
+        metrics = pipe.replay_batch(args.binlog_dir, batch_id=args.batch_id)
+        if not metrics["committed"]:
+            print(
+                f"NOTE: batch {metrics['batch_id']!r} already applied — commit "
+                "skipped (idempotent no-op); pass --batch-id to force a distinct key",
+                file=sys.stderr,
+            )
     if args.final_compact:
         compact(spark, pipe.table, batch_id="final-compact")
 

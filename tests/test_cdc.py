@@ -236,3 +236,26 @@ def test_tombstone_gc_on_compaction(spark, tmp_path, binlog):
     raw2 = pipe.table.read(spark)
     assert raw2.where(F.col("_op") == "d").count() == 0
     pd.testing.assert_frame_equal(before, _final_state(spark, pipe.table))
+
+
+def test_derived_batch_id_applies_new_segments(spark, tmp_path):
+    """Batch-mode replays derive the idempotence key from the input file
+    listing: identical input → no-op; a NEW segment → a distinct batch that
+    actually applies (a fixed id would silently skip the new data)."""
+    d = str(tmp_path / "binlog")
+    events = datagen.generate_events(datagen.BinlogSpec(n_events=200, n_convs=10, seed=7))
+    stream = datagen.arrival_order(events, datagen.BinlogSpec(n_events=200, n_convs=10, seed=7))
+    datagen.write_binlog(stream[:150], d, n_segments=3)
+
+    pipe = CdcPipeline(spark, d, str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=4, text_mode="none")
+    m1 = pipe.replay_batch(d)
+    assert m1["committed"] is True
+    m2 = pipe.replay_batch(d)  # same listing → same derived id → no-op
+    assert m2["committed"] is False and m2["batch_id"] == m1["batch_id"]
+
+    # a late segment lands; the derived id changes and the replay applies
+    datagen.write_binlog(stream[150:], d, n_segments=1, start_segment=3)
+    m3 = pipe.replay_batch(d)
+    assert m3["committed"] is True and m3["batch_id"] != m1["batch_id"]
+    _assert_matches_oracle(spark, pipe, events)

@@ -102,3 +102,31 @@ def test_lsh_topk_subset_of_brute(spark):
     out = sim.lsh_topk(v.where(F.col("vec_id") == 1), v, k=3, n_planes=2)
     got = {r["neighbor_id"] for r in out.collect()}
     assert 2 in got  # near-identical vector must share the sign bucket
+
+
+def test_zero_norm_vectors_never_near_dup(spark):
+    """cosine() yields NULL (not NaN) for zero-norm vectors: Spark orders
+    NaN above all numbers, so an unguarded 0/0 would make every zero vector
+    a 'near dup' of everything."""
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])]
+    v = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = dd.embedding_near_dup_pairs(v, "vec_id", "embedding",
+                                      threshold=0.9, verify_all_pairs=True)
+    assert out.collect() == []
+
+
+def test_embedding_near_dup_default_is_blocked(spark):
+    """The default path blocks on the hyperplane-LSH bucket: the physical
+    plan must contain an equi-join, NOT a cartesian/nested-loop product —
+    at corpus scale the unblocked self-join is the footgun, so the exact
+    all-pairs form is opt-in (verify_all_pairs=True)."""
+    v = _vectors(spark)
+    plan = dd.embedding_near_dup_pairs(v, "vec_id", "embedding")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+
+    all_pairs = dd.embedding_near_dup_pairs(v, "vec_id", "embedding",
+                                            threshold=0.95, verify_all_pairs=True)
+    blocked = dd.embedding_near_dup_pairs(v, "vec_id", "embedding", threshold=0.95)
+    exact = {(r["id1"], r["id2"]) for r in all_pairs.collect()}
+    approx = {(r["id1"], r["id2"]) for r in blocked.collect()}
+    assert approx <= exact and (1, 2) in approx  # near-identical pair survives blocking

@@ -255,3 +255,22 @@ class TestConfigValidation:
         with pytest.raises(ConfigValidationError) as ei:
             cfg.validate(self._schema(spark))
         assert len(ei.value.failures) == 3
+
+
+def test_null_path_value_renders_literal_null(spark):
+    """A NULL path_field value renders as the literal "null" in the path —
+    the reference builds paths with String.format (HierarchyFlattener.java:
+    179-181), where %s of null is "null"; a naive concat would instead null
+    out the whole path and corrupt min(path)/min_by(root) aggregation."""
+    df = spark.createDataFrame(
+        [(1, 2, None, "Produce", "A", 50), (2, 4, "Produce", "Vegetables", "C", 30)],
+        schema="ParentId int, ChildId int, ParentProduct string, ChildProduct string, Supplier string, Sales int",
+    )
+    out = flatten(df, FlattenConfig(**GROCERY_CFG))
+    paths = {(r["ParentId"], r["ChildId"], r["levelField"]): r["pathField"] for r in out.collect()}
+    assert paths[(1, 2, 1)] == "/null"
+    assert paths[(2, 4, 2)] == "/null/Produce"
+    # root column is frozen at the seed: stays NULL (reference copies the
+    # raw value, not the formatted path)
+    roots = {(r["ParentId"], r["ChildId"], r["levelField"]): r["rootField"] for r in out.collect()}
+    assert roots[(2, 4, 2)] is None

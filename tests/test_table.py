@@ -156,3 +156,72 @@ def test_concurrent_appends_both_commit(spark, tmp_path):
     out = {r["k"] for r in t.read(spark).select("k").collect()}
     assert out == {f"a{i}" for i in range(10)} | {f"b{i}" for i in range(10)}
     assert t.current_version() == 2
+
+
+def test_overwrite_merges_concurrent_append_deltas(spark, tmp_path):
+    """A delta appended between a rewriter's read and its winning snapshot
+    must NOT be dropped: the overwrite keeps unseen delta dirs stacked on
+    the rewritten base (readers LWW-resolve), so no committed data is lost."""
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=1)
+    d1 = _bucketed(spark, t, [("a", 1), ("b", 2)])
+    t.commit_append(d1, "w1")
+
+    base_v = t.current_version()
+    rewrite = _bucketed(spark, t, [("a", 10), ("b", 20)])  # compactor's output
+
+    # concurrent writer appends to the same bucket after the read
+    other = SnapshotTable(t.root)
+    d2 = _bucketed(spark, other, [("c", 3)])
+    assert other.commit_append(d2, "w2") is True
+
+    assert t.commit_overwrite_buckets(rewrite, [0], "compact", base_version=base_v) is True
+    live = t.snapshot()["live"]["0"]
+    assert len(live) == 2  # rewrite dir + the unseen delta dir
+    out = {tuple(r) for r in t.read(spark).select("k", "v").collect()}
+    assert out == {("a", 10), ("b", 20), ("c", 3)}
+
+
+def test_racing_overwrites_raise_conflict(spark, tmp_path):
+    """Two rewrites computed from the same base: the loser must get
+    ConcurrentOverwriteError (blindly re-pointing would drop the winner)."""
+    from hierarchical_to_relational_spark.table.snapshot_table import ConcurrentOverwriteError
+
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=1)
+    t.commit_append(_bucketed(spark, t, [("a", 1)]), "w1")
+    base_v = t.current_version()
+
+    winner, loser = SnapshotTable(t.root), SnapshotTable(t.root)
+    assert winner.commit_overwrite_buckets(
+        _bucketed(spark, winner, [("a", 2)]), [0], "c1", base_version=base_v
+    ) is True
+    with pytest.raises(ConcurrentOverwriteError):
+        loser.commit_overwrite_buckets(
+            _bucketed(spark, loser, [("a", 3)]), [0], "c2", base_version=base_v
+        )
+    assert t.read(spark).select("v").collect()[0][0] == 2
+
+
+def test_overwrite_retry_rereads_and_wins(spark, tmp_path):
+    """The merge layer's copy-on-write loop re-reads + re-resolves after a
+    conflicting overwrite and converges on the union of both writers."""
+    from hierarchical_to_relational_spark.operators.merge import _overwrite_resolved
+
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=1)
+    t.commit_append(_bucketed(spark, t, [("a", 1)]), "w1")
+
+    other = SnapshotTable(t.root)
+    calls = {"n": 0}
+
+    def resolve_fn(current):
+        calls["n"] += 1
+        if calls["n"] == 1:  # inject a racing overwrite between read and commit
+            other.commit_overwrite_buckets(
+                _bucketed(spark, other, [("z", 9)]), [0], "racer"
+            )
+        # rewrite = current state with v bumped by 100
+        return current.withColumn("v", F.col("v") + 100)
+
+    assert _overwrite_resolved(spark, t, SCHEMA, [0], "compact", resolve_fn) is True
+    assert calls["n"] == 2
+    out = {tuple(r) for r in t.read(spark).select("k", "v").collect()}
+    assert out == {("z", 109)}  # second attempt read the racer's state
