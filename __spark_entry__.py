@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 from hierarchical_to_relational_spark import FlattenConfig, flatten
 from hierarchical_to_relational_spark.operators import dedup as dd
 from hierarchical_to_relational_spark.operators.dedup import MINHASH_P, _minhash_perms
+from hierarchical_to_relational_spark.operators import similarity as sim
 from hierarchical_to_relational_spark.operators import text as tx
 from hierarchical_to_relational_spark.operators.text import LANG_STOPWORDS
 from hierarchical_to_relational_spark.operators.merge import (
@@ -523,9 +524,45 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_simhash_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SimHash: xxhash64 token hashes + shift/mask nibbles —
+    same output shape as the md5 contract form, ~10x cheaper, not
+    SQL-oracle-portable → rows-only driver check."""
+    return dd.simhash_fingerprint(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", hash_fn="xxhash64"
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (16 k-means cells, probe 4) — the ANN scale
+    path with a measured recall contract (tests/test_dedup_similarity.py
+    asserts recall@10 vs brute force). Approximate by design → rows-only
+    driver check (no SQL oracle); determinism comes from seeded centroids
+    and id tiebreaks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return sim.ivf_topk(q, emb, k=10, n_cells=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_text_profile_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production corpus profile: identical shape to text_profile_docs but
+    the fingerprint is the xxhash64 integer min (~10x cheaper than the md5
+    contract form). Not SQL-oracle-portable → rows-only driver check; the
+    md5 twin stays hash-checked."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.profile_documents(docs).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe", "punct_ratio", "stopword_ratio", "lang_guess", "quality", "fingerprint"
+    )
+
+
+def q_text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5 fingerprint here ONLY: this is the oracle-checked contract form
+    # (DuckDB replays md5 bit-for-bit). Production profiling defaults to
+    # the ~10x cheaper xxhash64 fingerprint (q_text_profile_docs_fast).
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.profile_documents(docs, fingerprint_hash="md5").select(
         "doc_id", "n_tokens_ws", "n_tokens_bpe", "punct_ratio", "stopword_ratio", "lang_guess", "quality", "fingerprint"
     )
 
@@ -584,9 +621,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_docs": q_jaccard_docs,
         "minhash_lsh_docs": q_minhash_lsh_docs,
         "simhash_docs": q_simhash_docs,
+        "simhash_docs_fast": q_simhash_docs_fast,
         "embed_near_dup": q_embed_near_dup,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_profile_docs": q_text_profile_docs,
+        "text_profile_docs_fast": q_text_profile_docs_fast,
         "chunk_docs": q_chunk_docs,
         "multimodal_meta": q_multimodal_meta,
     }

@@ -42,8 +42,11 @@ HEADLINE = [
     "sessionize",
     "minhash_lsh_docs",
     "simhash_docs",
+    "simhash_docs_fast",
     "text_profile_docs",
+    "text_profile_docs_fast",
     "ann_topk",
+    "ann_ivf_topk",
 ]
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
@@ -123,7 +126,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
-        "metric": "headline suite wall time (12 queries) + CDC apply throughput",
+        "metric": f"headline suite wall time ({len(timings)} queries) + CDC apply throughput",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -41,3 +41,36 @@ class LineageStore:
         not this watermark)."""
         lsns = [e["max_lsn"] for e in self.entries() if e.get("max_lsn") is not None]
         return max(lsns) if lsns else None
+
+    def bucket_lsn_watermarks(self) -> dict[str, int]:
+        """Per-partition (bucket) applied-LSN watermarks — the north rule's
+        per-partition lineage: highest LSN ever written into each bucket,
+        folded over every batch's footer stats."""
+        out: dict[str, int] = {}
+        for e in self.entries():
+            for b, lsn in (e.get("bucket_max_lsn") or {}).items():
+                if lsn is not None and (b not in out or lsn > out[b]):
+                    out[b] = lsn
+        return out
+
+    def monitoring_summary(self) -> dict:
+        """Operational snapshot for a live stream: batch/commit counts,
+        row totals, rolling throughput, compactions, watermark lag inputs.
+        Driver-side JSONL fold — no Spark job; cheap enough to poll."""
+        es = self.entries()
+        committed = [e for e in es if e.get("committed")]
+        dur = sum(e.get("duration_s") or 0.0 for e in committed)
+        rows = sum(e.get("rows_written") or 0 for e in committed)
+        return {
+            "batches_seen": len(es),
+            "batches_committed": len(committed),
+            "batches_skipped": len(es) - len(committed),
+            "rows_written": rows,
+            "upserts": sum(e.get("upserts") or 0 for e in committed),
+            "deletes": sum(e.get("deletes") or 0 for e in committed),
+            "compactions": sum(1 for e in es if e.get("compacted")),
+            "rows_per_sec": (rows / dur) if dur > 0 else None,
+            "applied_lsn_watermark": self.applied_lsn_watermark(),
+            "min_bucket_lsn": min(self.bucket_lsn_watermarks().values(), default=None),
+            "last_batch_at": max((e.get("recorded_at") or 0) for e in es) if es else None,
+        }

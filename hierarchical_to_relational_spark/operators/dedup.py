@@ -181,22 +181,36 @@ def minhash_lsh_pairs(
 HEX_NIBBLE = "0123456789abcdef"
 
 
-def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, sim_bits: int = 16) -> DataFrame:
+def simhash_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, sim_bits: int = 16, hash_fn: str = "md5"
+) -> DataFrame:
     """Per-doc SimHash-style fingerprint: tokens vote per nibble position
-    of md5(token); positions where the mean nibble value exceeds the
+    of hash(token); positions where the mean nibble value exceeds the
     neutral 7.5 become '1'. Emits (id, simhash) with a ``sim_bits``-char
-    bitstring. One explode + one aggregation; portable arithmetic
-    (strpos on hex chars) so the oracle matches bit-for-bit."""
+    bitstring. One explode + one aggregation.
+
+    ``hash_fn="md5"`` (default, the contract form): portable arithmetic
+    (strpos on hex chars) so the DuckDB oracle matches bit-for-bit.
+    ``hash_fn="xxhash64"``: the production path — one integer hash per
+    token, nibbles via shift/mask (sim_bits ≤ 16 fits the 64-bit word);
+    same output shape, ~10× cheaper, not oracle-portable."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).where(F.length("tok") > 0)
     # materialize the digest once per token; nibble extracts are then cheap
-    hashed = toks.select(id_col, F.md5(F.col("tok")).alias("h"))
-    nib_vals = [
-        (F.instr(F.lit(HEX_NIBBLE), F.substring(F.col("h"), i + 1, 1)) - 1).alias(f"n{i}")
-        for i in range(sim_bits)
-    ]
+    if hash_fn == "md5":
+        hashed = toks.select(id_col, F.md5(F.col("tok")).alias("h"))
+        nib_vals = [
+            (F.instr(F.lit(HEX_NIBBLE), F.substring(F.col("h"), i + 1, 1)) - 1).alias(f"n{i}")
+            for i in range(sim_bits)
+        ]
+    else:
+        hashed = toks.select(id_col, F.xxhash64(F.col("tok")).alias("h"))
+        nib_vals = [
+            F.shiftrightunsigned(F.col("h"), 4 * i).bitwiseAND(F.lit(15)).alias(f"n{i}")
+            for i in range(sim_bits)
+        ]
     votes = hashed.select(id_col, *nib_vals).groupBy(id_col).agg(
         *[F.avg(f"n{i}").alias(f"n{i}") for i in range(sim_bits)]
     )

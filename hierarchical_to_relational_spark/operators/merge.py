@@ -182,7 +182,8 @@ def apply_cdc_batch(
     stats = (
         table.last_commit_stats
         if committed and getattr(table, "last_commit_stats", None)
-        else {"rows_written": None, "upserts": None, "deletes": None, "max_lsn": None}
+        else {"rows_written": None, "upserts": None, "deletes": None, "max_lsn": None,
+              "bucket_max_lsn": {}}
     )
     return {
         "batch_id": batch_id,
@@ -252,6 +253,35 @@ def compact(
         return resolved
 
     return _overwrite_resolved(spark, table, schema, live_buckets, batch_id, resolve_fn)
+
+
+def evolve_buckets(
+    spark: SparkSession,
+    table: SnapshotTable,
+    new_n_buckets: int,
+    batch_id: str,
+    retries: int = 5,
+) -> bool:
+    """Re-bucketing migration: read the full state at a pinned version,
+    resolve it (the rewrite doubles as a compaction), recompute ``_bucket``
+    under the new count, and commit the whole table with the flipped bucket
+    spec. Subsequent writes and bucket-pruned reads use the new bucketing.
+    One full-table shuffle+rewrite — the same cost Iceberg pays to rewrite
+    into an evolved partition spec; amortized over the table's lifetime."""
+    schema = table.schema()
+    for _ in range(retries):
+        base_v = table.current_version()
+        resolved = resolve(table.read(spark, version=base_v), schema)
+        rebucketed = resolved.withColumn(
+            META_BUCKET, F.pmod(F.xxhash64(F.col("conv_id")), F.lit(new_n_buckets)).cast("int")
+        )
+        try:
+            return table.commit_rebucket(rebucketed, new_n_buckets, batch_id, base_version=base_v)
+        except ConcurrentOverwriteError:
+            continue
+    raise ConcurrentOverwriteError(
+        f"gave up re-bucketing for {batch_id!r} after {retries} re-reads"
+    )
 
 
 def read_transcripts(

@@ -53,31 +53,66 @@ def attach_binary_metadata(df: DataFrame, content_col: str = "content") -> DataF
     )
 
 
+def image_decoder_available() -> bool:
+    """True when an optional image library (Pillow) is importable — the
+    real-decode path is gated on this, never assumed."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_and_featurize(df: DataFrame, deterministic_fake: bool = False, dim: int = 8) -> DataFrame:
     """Decode + feature-extract media blobs via Arrow-batched mapInPandas.
 
-    The decode step is a stub: real deployments plug a library call into
-    ``_featurize_batch``; the distributed plumbing (schema, Arrow batches,
-    partitioning) is identical either way.
+    Three behaviors, same distributed plumbing (schema, Arrow batches,
+    partitioning):
+
+    - ``deterministic_fake=True``: reproducible stand-in features derived
+      from the bytes (sha256 prefix) — what tests and this sandbox use.
+    - real decode (default) when Pillow is importable on the executors:
+      images are decoded and featurized as ``dim`` column-band grayscale
+      means; non-image kinds fall back to the hash features.
+    - otherwise ``NotImplementedError`` with a clear remediation hint.
     """
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        for pdf in batches:
-            if not deterministic_fake:
+        decoder = None
+        if not deterministic_fake:
+            try:
+                from PIL import Image as decoder  # noqa: N813 (optional dep)
+            except ImportError:
                 raise NotImplementedError(
-                    "media decoding requires image/audio libraries not present in "
-                    "this environment; pass deterministic_fake=True for the "
+                    "media decoding requires an image library (Pillow) that is "
+                    "not present in this environment; install pillow on the "
+                    "executors, or pass deterministic_fake=True for the "
                     "reproducible stand-in feature extractor"
-                )
+                ) from None
+
+        def hash_feature(raw: bytes) -> list[float]:
+            return [b / 255.0 for b in hashlib.sha256(raw).digest()[:dim]]
+
+        def image_feature(raw: bytes) -> list[float]:
+            import io
+
+            img = decoder.open(io.BytesIO(raw)).convert("L").resize((dim, dim))
+            px = list(img.getdata())  # row-major dim×dim grayscale
+            return [sum(px[r * dim + c] for r in range(dim)) / dim / 255.0 for c in range(dim)]
+
+        for pdf in batches:
             feats, shas, nbytes = [], [], []
-            for content in pdf["content"]:
+            for content, kind in zip(pdf["content"], pdf["kind"]):
                 raw = bytes(content) if content is not None else b""
-                digest = hashlib.sha256(raw).digest()
-                shas.append(digest.hex())
+                shas.append(hashlib.sha256(raw).hexdigest())
                 nbytes.append(len(raw))
-                feats.append([b / 255.0 for b in digest[:dim]])
+                if decoder is not None and kind == "image" and raw:
+                    feats.append(image_feature(raw))
+                else:
+                    feats.append(hash_feature(raw))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -76,15 +76,26 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 4,
     seed: int = 0,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     hyperplane sign bucket. Recall < 1.0 by construction; used as the
-    candidate generator at scale (multi-probe/repeat with different seeds
-    to raise recall)."""
+    candidate generator at scale.
+
+    ``probe_hamming`` is the recall/cost knob (multi-probe LSH): 0 probes
+    the exact bucket only; 1 additionally probes every bucket one bit-flip
+    away (n_planes+1 buckets per query — candidates grow ~linearly in
+    n_planes while recall recovers the neighbors that fell just across one
+    hyperplane, the dominant LSH failure mode)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("bucket", hyperplane_bucket(F.col("qv"), n_planes, seed))
+    if probe_hamming >= 1:
+        probes = F.array(F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(2 ** j)) for j in range(n_planes)
+        ])
+        q = q.withColumn("bucket", F.explode(probes))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -92,6 +103,7 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), (F.col("query_id") != F.col("neighbor_id")) & (q["bucket"] == c["bucket"]))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .distinct()  # a neighbor can match several probe buckets
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -99,3 +111,121 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------- IVF (inverted-file) ANN ----------
+
+def _unit(v):
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(n > 0, F.transform(v, lambda x: x / n))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic spherical k-means centroids ``(cell, cvec)``.
+
+    Init: the ``n_cells`` corpus vectors with the smallest
+    ``xxhash64(seed, id)`` — a replay-stable pseudo-random sample (no RNG
+    state, same result at any parallelism). Each Lloyd iteration is one
+    broadcast-join assignment plus one (cell, dim) hash aggregation —
+    centroid recomputation shuffles n_cells×dim partial means, never
+    vectors. All JVM column algebra; no Python on the hot path."""
+    v = corpus.select(
+        F.col(id_col).alias("_id"),
+        _unit(F.col(vec_col).cast("array<double>")).alias("v"),
+    ).where(F.col("v").isNotNull())
+    w = Window.orderBy("_h")
+    cent = (
+        v.withColumn("_h", F.xxhash64(F.lit(seed), F.col("_id")))
+        .orderBy("_h").limit(n_cells)
+        .withColumn("cell", F.row_number().over(w) - 1)
+        .select("cell", F.col("v").alias("cvec"))
+    )
+    for _ in range(n_iters):
+        assigned = _assign_cells(v, cent)
+        by_dim = assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+        means = by_dim.groupBy("cell", "pos").agg(F.avg("x").alias("x"))
+        cent = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("s"))
+            .select("cell", _unit(F.transform("s", lambda t: t["x"])).alias("cvec"))
+        )
+    return cent
+
+
+def _assign_cells(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, v) × broadcast(centroids) → nearest cell per vector (max dot on
+    unit vectors == max cosine). max_by hash agg, no window."""
+    j = v.crossJoin(F.broadcast(cent)).withColumn("_d", _dot(F.col("v"), F.col("cvec")))
+    packed = j.groupBy("_id").agg(
+        F.max_by(F.struct("cell", "v"), F.struct(F.col("_d"), (-F.col("cell")).alias("_t"))).alias("_r")
+    )
+    return packed.select("_id", F.col("_r.cell").alias("cell"), F.col("_r.v").alias("v"))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are indexed into ``n_cells``
+    k-means cells; each query scores only the ``n_probe`` nearest cells.
+    Candidate work drops ~n_probe/n_cells vs brute force with a measured
+    recall/cost knob (raise n_probe → recall→1, cost→brute force).
+    Cosine on unit vectors, ties broken by neighbor id (deterministic)."""
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _unit(F.col(vec_col).cast("array<double>")).alias("cv"),
+    ).where(F.col("cv").isNotNull())
+    c_cells = _assign_cells(c.withColumnRenamed("neighbor_id", "_id").withColumnRenamed("cv", "v"), cent) \
+        .select(F.col("_id").alias("neighbor_id"), "cell", F.col("v").alias("cv"))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _unit(F.col(vec_col).cast("array<double>")).alias("qv"),
+    ).where(F.col("qv").isNotNull())
+    qc = q.crossJoin(F.broadcast(cent)).withColumn("_d", _dot(F.col("qv"), F.col("cvec")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        c_cells.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
+    """Measured recall@k: |approx∩exact| / |exact| over (query_id,
+    neighbor_id) pairs with rank ≤ k. The contract number an ANN variant
+    must publish against brute_force_topk."""
+    a = approx.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    denom = e.count()
+    return (a.intersect(e).count() / denom) if denom else 1.0

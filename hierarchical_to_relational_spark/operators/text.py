@@ -95,14 +95,23 @@ def shingle_array(col: Column | str, k: int = 5) -> Column:
     return F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(c, i, F.lit(k)))
 
 
-def rolling_fingerprint(col: Column | str, k: int = 8) -> Column:
-    """Rolling-hash document fingerprint: the lexicographic minimum of
-    md5(shingle) over all k-shingles (one-permutation MinHash — a stable
-    content fingerprint robust to reordering of large blocks). Documents
-    shorter than k hash the whole text."""
+def rolling_fingerprint(col: Column | str, k: int = 8, hash_fn: str = "xxhash64") -> Column:
+    """Rolling-hash document fingerprint: the minimum of hash(shingle) over
+    all k-shingles (one-permutation MinHash — a stable content fingerprint
+    robust to reordering of large blocks). Documents shorter than k hash
+    the whole text.
+
+    ``hash_fn="xxhash64"`` (default) is the production path: a 64-bit
+    integer min — ~O(doc_len) cheap integer hashes per document instead of
+    O(doc_len) md5 string digests (the md5 density was the corpus profile's
+    CPU sink). ``hash_fn="md5"`` keeps the engine-portable form the DuckDB
+    oracle replays bit-for-bit (the contract query uses it)."""
     c = F.col(col) if isinstance(col, str) else col
-    mins = F.array_min(F.transform(shingle_array(c, k), lambda s: F.md5(s)))
-    return F.coalesce(mins, F.md5(c))
+    if hash_fn == "md5":
+        mins = F.array_min(F.transform(shingle_array(c, k), lambda s: F.md5(s)))
+        return F.coalesce(mins, F.md5(c))
+    mins = F.array_min(F.transform(shingle_array(c, k), lambda s: F.xxhash64(s)))
+    return F.coalesce(mins, F.xxhash64(c))
 
 
 def chunk_documents(
@@ -135,9 +144,16 @@ def chunk_documents(
     )
 
 
-def profile_documents(df: DataFrame, text_col: str = "text", lang: str = "en") -> DataFrame:
+def profile_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    fingerprint_hash: str = "xxhash64",
+) -> DataFrame:
     """One-pass corpus profile: token counts, ratios, language, quality,
-    fingerprint appended as columns (single scan, zero shuffles)."""
+    fingerprint appended as columns (single scan, zero shuffles).
+    ``fingerprint_hash="md5"`` selects the oracle-portable fingerprint (the
+    contract query); the default is the cheap production hash."""
     c = F.col(text_col)
     return df.select(
         "*",
@@ -147,5 +163,5 @@ def profile_documents(df: DataFrame, text_col: str = "text", lang: str = "en") -
         F.round(stopword_ratio(c, lang), 6).alias("stopword_ratio"),
         lang_id(c).alias("lang_guess"),
         F.round(quality_score(c, lang), 6).alias("quality"),
-        rolling_fingerprint(c).alias("fingerprint"),
+        rolling_fingerprint(c, hash_fn=fingerprint_hash).alias("fingerprint"),
     )

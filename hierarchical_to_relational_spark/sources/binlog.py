@@ -91,6 +91,11 @@ def stream_binlog(
     New segment files appended by the producer become new micro-batches;
     exactly-once downstream comes from the idempotent batch-id-keyed table
     commit, not from the source.
+
+    Producer contract (standard Spark file-source assumption): segments
+    must APPEAR atomically — write to a staging path and rename into the
+    tailed directory. A file written in place can be catalogued mid-write
+    and its tail silently missed.
     """
     reader = spark.readStream.schema(schema or envelope_schema()).format(fmt)
     if max_files_per_trigger:

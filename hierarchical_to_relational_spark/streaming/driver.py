@@ -40,6 +40,10 @@ class CdcPipeline:
         envelope_schema: T.StructType | None = None,
         mode: str = "mor",
         compact_every: int = 16,
+        compact_min_bytes: int | None = None,
+        expire_every: int | None = None,
+        retain_snapshots: int = 100,
+        orphan_grace_seconds: float = 3600.0,
         collect_stats: bool = True,
         source_format: str = "parquet",
     ):
@@ -49,6 +53,11 @@ class CdcPipeline:
         self.text_mode = text_mode
         self.mode = mode
         self.compact_every = compact_every
+        self.compact_min_bytes = compact_min_bytes
+        self.expire_every = expire_every
+        self.retain_snapshots = retain_snapshots
+        self.orphan_grace_seconds = orphan_grace_seconds
+        self._batches_applied = 0
         self.collect_stats = collect_stats
         self.source_format = source_format
         self.envelope_schema = envelope_schema or binlog_source.envelope_schema()
@@ -68,32 +77,68 @@ class CdcPipeline:
             self.spark, self.table, upserts, deletes, batch_id=str(batch_id),
             mode=self.mode, collect_stats=self.collect_stats,
         )
-        # merge-on-read: fold deltas down once they stack too deep
-        if self.mode == "mor" and self.table.delta_depth() >= self.compact_every:
+        # merge-on-read: fold deltas down once they stack too deep (count
+        # trigger) or grow too heavy (size trigger — manifest byte stats,
+        # no filesystem listing)
+        if self.mode == "mor" and (
+            self.table.delta_depth() >= self.compact_every
+            or (
+                self.compact_min_bytes is not None
+                and self.table.delta_bytes() >= self.compact_min_bytes
+            )
+        ):
             compact(self.spark, self.table, batch_id=f"{batch_id}::compact")
             metrics["compacted"] = True
+        # unbounded-stream hygiene: expire old snapshots + orphan data dirs
+        # every N applied batches so _snapshots/ and the id set stay bounded
+        self._batches_applied += 1
+        if self.expire_every is not None and self._batches_applied % self.expire_every == 0:
+            metrics["expired"] = self.table.expire_snapshots(
+                retain_last=self.retain_snapshots,
+                orphan_grace_seconds=self.orphan_grace_seconds,
+            )
         metrics["table_version"] = self.table.current_version()
         self.lineage.record(metrics)
         return metrics
 
     # -- streaming entry point --
-    def run_stream(self, max_files_per_trigger: int | None = 4, await_termination: bool = True):
-        """Process all currently-available binlog segments as a sequence of
-        micro-batches (availableNow), checkpointed + resumable. Call again
-        after new segments land — or leave running with a processing-time
-        trigger in production."""
+    def run_stream(
+        self,
+        max_files_per_trigger: int | None = 4,
+        await_termination: bool = True,
+        processing_time: str | None = None,
+        timeout_s: float | None = None,
+    ):
+        """Tail the binlog as a checkpointed, resumable stream.
+
+        Default trigger is ``availableNow`` — drain every currently-visible
+        segment, then stop (batch-ish operation; call again after new
+        segments land). Pass ``processing_time`` (e.g. ``"1 second"``) for
+        the production live tail: the query keeps polling the directory and
+        applies new segments as they arrive; ``max_files_per_trigger`` is
+        the intake rate limit (bounds per-micro-batch work so one huge
+        backlog can't produce an unbounded batch). Exactly-once and
+        crash-resume semantics are identical under both triggers — they
+        come from the checkpoint + idempotent batch-id commits, not the
+        trigger. ``timeout_s`` bounds awaitTermination for soak tests."""
         stream = binlog_source.stream_binlog(
             self.spark, self.binlog_dir, self.envelope_schema, max_files_per_trigger,
             fmt=self.source_format,
         )
-        query = (
+        writer = (
             stream.writeStream.foreachBatch(lambda df, bid: self.apply_batch(df, bid))
             .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
         )
+        if processing_time is None:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        query = writer.start()
         if await_termination:
-            query.awaitTermination()
+            if timeout_s is not None:
+                query.awaitTermination(timeout_s)
+            else:
+                query.awaitTermination()
         return query
 
     # -- batch replay (bench path): same merge machinery, explicit batches --

@@ -41,6 +41,9 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
+import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -60,6 +63,47 @@ class ConcurrentOverwriteError(RuntimeError):
     pointer swap alone would drop the other writer's data."""
 
 
+class CommittedIds:
+    """Set-like view of every batch id ever committed, bounded for
+    unbounded streams: an explicit id set PLUS a numeric floor — any id
+    whose numeric part is ≤ the floor is committed. Streaming epoch ids are
+    monotonic integers, so snapshot expiration collapses the (unbounded)
+    prefix of them into one integer instead of keeping 10^6 strings."""
+
+    __slots__ = ("ids", "numeric_floor")
+
+    _NUM = re.compile(r"^(\d+)(?:::.*)?$")
+
+    def __init__(self, ids: set[str] | None = None, numeric_floor: int = -1):
+        self.ids = ids if ids is not None else set()
+        self.numeric_floor = numeric_floor
+
+    def __contains__(self, batch_id: str) -> bool:
+        if batch_id in self.ids:
+            return True
+        m = self._NUM.match(batch_id)
+        return m is not None and int(m.group(1)) <= self.numeric_floor
+
+    def add(self, batch_id: str) -> None:
+        if batch_id not in self:
+            self.ids.add(batch_id)
+
+    def compact(self) -> None:
+        """Advance the floor over a contiguous run of numeric ids and drop
+        every id the floor now covers. Derived ids (``N::compact``,
+        ``N::evolve``) are dropped with their parent: they can only
+        re-fire when batch N itself replays, which the floor suppresses —
+        and a spurious re-compaction is merely redundant work, never
+        incorrect (compaction is state-preserving)."""
+        present = {int(m.group(1)) for m in map(self._NUM.match, self.ids) if m}
+        while self.numeric_floor + 1 in present:
+            self.numeric_floor += 1
+        self.ids = {
+            i for i in self.ids
+            if not ((m := self._NUM.match(i)) and int(m.group(1)) <= self.numeric_floor)
+        }
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
@@ -67,7 +111,8 @@ class SnapshotTable:
         self._data_dir = os.path.join(root, DATA_DIR)
         # incremental batch-id cache: (last version scanned, ids seen so far)
         self._ids_scanned_to: int = -1
-        self._ids_cache: set[str] = set()
+        self._ids_cache = CommittedIds()
+        self._ledger_stamp: tuple | None = None
 
     # ---------- snapshot log ----------
 
@@ -137,10 +182,35 @@ class SnapshotTable:
     def n_buckets(self) -> int:
         return self.snapshot()["n_buckets"]
 
-    def committed_batch_ids(self) -> set[str]:
-        """Every batch_id ever committed. Incremental: only snapshot files
-        newer than the last scan are read (commit cost stays O(1) amortized
-        over a long stream instead of O(versions))."""
+    @property
+    def _ledger_path(self) -> str:
+        return os.path.join(self._snap_dir, "ledger.json")
+
+    def _load_ledger(self) -> None:
+        """Merge the expiration ledger (ids of EXPIRED snapshots, collapsed
+        to a numeric floor) into the in-memory cache when it changed on
+        disk. One stat() per call — cheap enough for every commit."""
+        try:
+            st = os.stat(self._ledger_path)
+            stamp = (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            return
+        if stamp == self._ledger_stamp:
+            return
+        with open(self._ledger_path) as f:
+            led = json.load(f)
+        self._ids_cache.numeric_floor = max(self._ids_cache.numeric_floor, led["numeric_floor"])
+        self._ids_cache.ids.update(led["ids"])
+        self._ids_cache.compact()
+        self._ledger_stamp = stamp
+
+    def committed_batch_ids(self) -> CommittedIds:
+        """Every batch_id ever committed (set-like; bounded — see
+        CommittedIds). Incremental: only snapshot files newer than the last
+        scan are read (commit cost stays O(1) amortized over a long stream
+        instead of O(versions)); ids of expired snapshots come from the
+        ledger."""
+        self._load_ledger()
         for v in self._versions():
             if v > self._ids_scanned_to:
                 self._ids_cache.add(self.snapshot(v)["batch_id"])
@@ -208,22 +278,28 @@ class SnapshotTable:
             salt = F.pmod(F.xxhash64(*[c for c in ordered if c != "_bucket"][:2]), F.lit(8))
             out = out.repartition(F.col("_bucket"), salt)
         out.write.partitionBy("_bucket").mode("overwrite").parquet(commit_abs)
-        written = {
-            os.path.basename(p).split("=", 1)[1]
-            for p in glob.glob(os.path.join(commit_abs, "_bucket=*"))
-        }
+        written: dict[str, int] = {}  # bucket -> bytes (manifest size stats)
+        for p in glob.glob(os.path.join(commit_abs, "_bucket=*")):
+            b = os.path.basename(p).split("=", 1)[1]
+            written[b] = sum(
+                os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+            )
         self.last_commit_stats = self._footer_stats(commit_abs)
         return commit_rel, written
 
     @staticmethod
     def _footer_stats(commit_abs: str, lsn_col: str = "_lsn", tombstone_null_col: str = "turn_idx") -> dict:
         """Commit metrics from parquet footers — no Spark job: row count,
-        max applied LSN (column max stats), tombstone count (null-count of
-        the key column, which is null exactly on tombstone rows)."""
+        max applied LSN (column max stats, global AND per bucket — the
+        north rule's per-partition applied-LSN watermark), tombstone count
+        (null-count of the key column, which is null exactly on tombstone
+        rows)."""
         import pyarrow.parquet as papq
 
         rows, max_lsn, nulls = 0, None, 0
+        bucket_max_lsn: dict[str, int] = {}
         for f in glob.glob(os.path.join(commit_abs, "_bucket=*", "*.parquet")):
+            bucket = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
             md = papq.ParquetFile(f).metadata
             rows += md.num_rows
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
@@ -233,29 +309,58 @@ class SnapshotTable:
                     st = g.column(names[lsn_col]).statistics
                     if st is not None and st.has_min_max:
                         max_lsn = st.max if max_lsn is None else max(max_lsn, st.max)
+                        prev = bucket_max_lsn.get(bucket)
+                        bucket_max_lsn[bucket] = st.max if prev is None else max(prev, st.max)
                 if tombstone_null_col in names:
                     st = g.column(names[tombstone_null_col]).statistics
                     if st is not None and st.null_count is not None:
                         nulls += st.null_count
-        return {"rows_written": rows, "max_lsn": max_lsn, "deletes": nulls, "upserts": rows - nulls}
+        return {
+            "rows_written": rows,
+            "max_lsn": max_lsn,
+            "deletes": nulls,
+            "upserts": rows - nulls,
+            "bucket_max_lsn": bucket_max_lsn,
+        }
 
-    def _commit(self, batch_id: str, schema: T.StructType, update_live, retries: int = 20) -> bool:
+    def _commit(
+        self,
+        batch_id: str,
+        schema: T.StructType,
+        update_live,
+        commit_meta: tuple[str, dict] | None = None,
+        retries: int = 20,
+        n_buckets_override: int | None = None,
+    ) -> bool:
         """Optimistic-concurrency commit (Iceberg-style): build the new
         ``live`` mapping from the CURRENT snapshot via ``update_live(live)``,
         try to exclusively create the next version file; on losing the race,
         re-read and retry — the data files are already on disk, only the
         pointer swap repeats. Idempotence on batch_id is re-checked every
-        attempt (the winner may have been our own batch replayed)."""
+        attempt (the winner may have been our own batch replayed).
+
+        ``commit_meta`` = (commit_rel, per-bucket bytes) for the new data
+        dir; the snapshot's ``commit_bytes`` stats are pruned to dirs still
+        referenced by ``live`` so manifest size stays O(live dirs).
+        ``n_buckets_override`` flips the bucket spec in the same atomic
+        snapshot (re-bucketing migration)."""
         for _ in range(retries):
             if batch_id in self.committed_batch_ids():
                 return False
             cur = self.snapshot()
+            new_live = update_live({b: list(ds) for b, ds in cur["live"].items()})
+            referenced = {d for ds in new_live.values() for d in ds}
+            prev_bytes = cur.get("commit_bytes", {})
+            commit_bytes = {d: prev_bytes[d] for d in referenced if d in prev_bytes}
+            if commit_meta is not None and commit_meta[0] in referenced:
+                commit_bytes[commit_meta[0]] = commit_meta[1]
             snap = {
                 "version": cur["version"] + 1,
                 "batch_id": batch_id,
                 "schema": schema.json(),
-                "n_buckets": cur["n_buckets"],
-                "live": update_live({b: list(ds) for b, ds in cur["live"].items()}),
+                "n_buckets": n_buckets_override if n_buckets_override is not None else cur["n_buckets"],
+                "live": new_live,
+                "commit_bytes": commit_bytes,
             }
             try:
                 self._write_snapshot(snap)
@@ -326,7 +431,7 @@ class SnapshotTable:
                     live.pop(key, None)  # bucket emptied (all rows deleted)
             return live
 
-        return self._commit(batch_id, schema, update)
+        return self._commit(batch_id, schema, update, commit_meta=(commit_rel, written))
 
     def commit_append(
         self,
@@ -351,12 +456,173 @@ class SnapshotTable:
                 live.setdefault(b, []).append(commit_rel)
             return live
 
-        return self._commit(batch_id, schema, update)
+        return self._commit(batch_id, schema, update, commit_meta=(commit_rel, written))
+
+    def commit_rebucket(
+        self,
+        df: DataFrame,
+        new_n_buckets: int,
+        batch_id: str,
+        base_version: int | None = None,
+    ) -> bool:
+        """Bucket-spec evolution: replace the ENTIRE table with ``df``
+        (already re-bucketed under ``new_n_buckets``) and flip the bucket
+        count in the same atomic snapshot — a table sized at small scale
+        can re-bucket when data grows 100× (Iceberg bucket-spec evolution).
+
+        Strictest validation: ANY commit since ``base_version`` conflicts
+        (the rewrite covered the whole table, so nothing can be merged) —
+        callers re-read and retry via ``operators.merge.evolve_buckets``."""
+        if batch_id in self.committed_batch_ids():
+            return False
+        if base_version is None:
+            base_version = self.current_version()
+        base_live = self.snapshot(base_version)["live"]
+        schema = self.schema()
+        commit_rel, written = self._write_commit_data(df, schema, repartition=True)
+
+        def update(live: dict) -> dict:
+            if live != base_live:
+                raise ConcurrentOverwriteError(
+                    f"table changed since rebucket base v{base_version}; re-read and retry"
+                )
+            return {b: [commit_rel] for b in written}
+
+        return self._commit(
+            batch_id, schema, update,
+            commit_meta=(commit_rel, written), n_buckets_override=new_n_buckets,
+        )
 
     def delta_depth(self) -> int:
         """Max commit dirs stacked on any bucket (compaction trigger)."""
         live = self.snapshot()["live"]
         return max((len(ds) for ds in live.values()), default=0)
+
+    def delta_bytes(self) -> int:
+        """Max per-bucket bytes of stacked delta dirs (every dir beyond the
+        base) — the size-based compaction trigger. Served from the
+        manifest's ``commit_bytes`` stats (recorded at write time), so no
+        filesystem listing; filesystem fallback only for dirs committed
+        before stats existed."""
+        snap = self.snapshot()
+        cb = snap.get("commit_bytes", {})
+        worst = 0
+        for b, dirs in snap["live"].items():
+            total = 0
+            for d in dirs[1:]:
+                if d in cb and b in cb[d]:
+                    total += cb[d][b]
+                else:
+                    total += sum(
+                        os.path.getsize(f)
+                        for f in glob.glob(os.path.join(self.root, d, f"_bucket={b}", "*.parquet"))
+                    )
+            worst = max(worst, total)
+        return worst
+
+    def history(self) -> list[dict]:
+        """Snapshot log audit view (Iceberg ``table.history()``): one entry
+        per retained version — version, batch_id, n_buckets, live dir count,
+        rows written (from commit_bytes presence)."""
+        out = []
+        for v in self._versions():
+            s = self.snapshot(v)
+            out.append(
+                {
+                    "version": v,
+                    "batch_id": s["batch_id"],
+                    "n_buckets": s["n_buckets"],
+                    "live_buckets": len(s["live"]),
+                    "data_dirs": len({d for ds in s["live"].values() for d in ds}),
+                }
+            )
+        return out
+
+    def rollback(self, version: int, batch_id: str) -> bool:
+        """Roll the table back to a retained historical version (Iceberg
+        ``rollback_to_snapshot``): a NEW commit whose live map (and bucket
+        spec) is copied from the target version — history is preserved, no
+        data files move, and the rollback itself is idempotent on
+        batch_id. Fails if the target snapshot was expired."""
+        target = self.snapshot(version)  # raises if expired/unknown
+        schema = T.StructType.fromJson(json.loads(target["schema"]))
+        return self._commit(
+            batch_id,
+            schema,
+            lambda live: {b: list(ds) for b, ds in target["live"].items()},
+            n_buckets_override=target["n_buckets"],
+        )
+
+    # ---------- maintenance: snapshot expiration + orphan GC ----------
+
+    def expire_snapshots(
+        self,
+        retain_last: int = 100,
+        clean_orphans: bool = True,
+        orphan_grace_seconds: float = 3600.0,
+    ) -> dict:
+        """Expire old snapshots (Iceberg expire_snapshots + orphan cleanup):
+        keeps the table's metadata bounded over an unbounded stream.
+
+        1. Fold every known batch id into ``_snapshots/ledger.json``
+           (atomic replace), collapsing the contiguous numeric prefix into
+           a floor — idempotence survives snapshot deletion with O(1)
+           memory for streaming epoch ids.
+        2. Delete all but the last ``retain_last`` snapshot files (time
+           travel remains available within the retained window).
+        3. Drop data dirs referenced by NO retained snapshot and older than
+           ``orphan_grace_seconds`` — the grace period protects a
+           concurrent writer that has written data but not yet swapped its
+           snapshot pointer (crash leftovers are collected on a later run).
+
+        Single-maintenance-writer op (like Iceberg's): safe against
+        concurrent COMMITS, but don't run two expirations at once — the
+        ledger write is last-writer-wins."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        versions = self._versions()
+        to_expire = versions[:-retain_last]
+
+        ids = self.committed_batch_ids()  # ledger ∪ every current snapshot
+        ids.compact()
+        tmp = self._ledger_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "numeric_floor": ids.numeric_floor,
+                    "ids": sorted(ids.ids),
+                    "expired_through": to_expire[-1] if to_expire else None,
+                },
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._ledger_path)  # BEFORE deleting snapshots: a
+        # crash in between merely re-merges ids next run (set union)
+        st = os.stat(self._ledger_path)
+        self._ledger_stamp = (st.st_mtime_ns, st.st_size)
+
+        for v in to_expire:
+            os.unlink(self._snapshot_path(v))
+
+        removed_dirs = 0
+        if clean_orphans:
+            referenced: set[str] = set()
+            for v in versions[-retain_last:]:
+                for ds in self.snapshot(v)["live"].values():
+                    referenced.update(ds)
+            now = time.time()
+            for p in glob.glob(os.path.join(self._data_dir, "c-*")):
+                rel = os.path.join(DATA_DIR, os.path.basename(p))
+                if rel not in referenced and now - os.path.getmtime(p) >= orphan_grace_seconds:
+                    shutil.rmtree(p)
+                    removed_dirs += 1
+        return {
+            "expired_snapshots": len(to_expire),
+            "removed_data_dirs": removed_dirs,
+            "numeric_floor": ids.numeric_floor,
+            "ledger_ids": len(ids.ids),
+        }
 
     def evolve(self, add_fields: list[T.StructField], batch_id: str) -> bool:
         """Metadata-only additive widening (no data rewrite)."""

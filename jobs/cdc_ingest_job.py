@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-id", default=None,
                    help="batch mode only: explicit idempotence key; default derives "
                         "one from the input segment listing so new segments re-apply")
+    p.add_argument("--processing-time", default=None, metavar="INTERVAL",
+                   help="with --stream: run a LIVE tail with this trigger interval "
+                        "(e.g. '2 seconds') instead of availableNow drain-and-stop")
+    p.add_argument("--timeout-s", type=float, default=None,
+                   help="with --processing-time: stop the live tail after this many "
+                        "seconds (default: run until interrupted)")
     p.add_argument("--final-compact", action="store_true")
     args = p.parse_args(argv)
 
@@ -61,7 +67,13 @@ def main(argv: list[str] | None = None) -> int:
         source_format=args.source_format,
     )
     if args.stream:
-        pipe.run_stream(max_files_per_trigger=args.max_files_per_trigger)
+        q = pipe.run_stream(
+            max_files_per_trigger=args.max_files_per_trigger,
+            processing_time=args.processing_time,
+            timeout_s=args.timeout_s,
+        )
+        if args.processing_time is not None:
+            q.stop()
     else:
         metrics = pipe.replay_batch(args.binlog_dir, batch_id=args.batch_id)
         if not metrics["committed"]:

@@ -1,0 +1,99 @@
+"""Production streaming mode: processing-time trigger live tail — segments
+land WHILE the stream runs; rate-limited intake; crash-resume stays
+exactly-once under the continuous trigger; lineage powers monitoring."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+
+from hierarchical_to_relational_spark import datagen
+from hierarchical_to_relational_spark.operators.merge import read_transcripts
+from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+
+SPEC = datagen.BinlogSpec(n_events=400, n_convs=20, seed=31)
+
+
+def _wait_for(predicate, timeout_s=90.0, poll_s=0.5):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(poll_s)
+    return False
+
+
+def test_live_tail_processing_time_trigger(spark, tmp_path):
+    """Start a live tail FIRST, then land segments in waves while it runs.
+    The query must pick up each wave without restarts; final state equals
+    the pandas oracle; a post-crash restart under the same checkpoint
+    replays nothing (exactly-once)."""
+    events = datagen.generate_events(SPEC)
+    stream_rows = datagen.arrival_order(events, SPEC)
+    binlog = str(tmp_path / "binlog")
+    # wave 0 exists before the stream starts
+    datagen.write_binlog(stream_rows.iloc[:100], binlog, n_segments=2)
+
+    pipe = CdcPipeline(spark, binlog, str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=8, text_mode="none")
+    query = pipe.run_stream(max_files_per_trigger=2, await_termination=False,
+                            processing_time="1 second")
+    try:
+        assert _wait_for(lambda: pipe.lineage.applied_lsn_watermark() is not None)
+        # waves 1..3 land while the query is live — atomically (stage +
+        # rename): Spark's file source assumes files appear whole, so a
+        # producer writing in place can be catalogued mid-write
+        for w in range(1, 4):
+            lo = w * 100
+            hi = (w + 1) * 100 if w < 3 else len(stream_rows)  # last wave takes the tail
+            stage = str(tmp_path / f"stage{w}")
+            for p in datagen.write_binlog(stream_rows.iloc[lo:hi], stage,
+                                          n_segments=2, start_segment=2 * w):
+                os.rename(p, os.path.join(binlog, os.path.basename(p)))
+        # drain detection: the arrival stream is shuffled, so the max-LSN
+        # watermark can land early — wait for quiescence instead (lineage
+        # totals unchanged across several trigger intervals)
+        target = int(stream_rows["lsn"].max())
+        assert _wait_for(lambda: pipe.lineage.applied_lsn_watermark() == target, 120), \
+            f"live tail never reached lsn {target}: at {pipe.lineage.applied_lsn_watermark()}"
+        last, stable_since = None, time.time()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            cur = pipe.lineage.monitoring_summary()["batches_committed"]
+            if cur != last:
+                last, stable_since = cur, time.time()
+            elif time.time() - stable_since > 5:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+
+    got = (read_transcripts(spark, pipe.table)
+           .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True))
+    want = datagen.expected_state(events)
+    pd.testing.assert_frame_equal(got.astype({"turn_idx": "int64"}),
+                                  want.astype({"turn_idx": "int64"}), check_dtype=False)
+
+    # crash-resume under the continuous trigger: same checkpoint, nothing
+    # re-applies (idempotent commits), state unchanged
+    v_before = pipe.table.current_version()
+    pipe2 = CdcPipeline(spark, binlog, str(tmp_path / "t"), str(tmp_path / "ck"),
+                        n_buckets=8, text_mode="none")
+    q2 = pipe2.run_stream(max_files_per_trigger=2, await_termination=False,
+                          processing_time="1 second")
+    try:
+        time.sleep(4)
+    finally:
+        q2.stop()
+    assert pipe2.table.current_version() == v_before
+
+    # monitoring: lineage summary reflects the run
+    mon = pipe2.lineage.monitoring_summary()
+    assert mon["applied_lsn_watermark"] == int(stream_rows["lsn"].max())
+    assert mon["batches_committed"] >= 4  # at least one per wave
+    assert mon["rows_written"] > 0 and mon["rows_per_sec"] is not None
+    # per-bucket watermarks exist for every live bucket
+    marks = pipe2.lineage.bucket_lsn_watermarks()
+    assert marks and all(v <= mon["applied_lsn_watermark"] for v in marks.values())

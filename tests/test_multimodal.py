@@ -48,3 +48,29 @@ def test_frame_sampling_plan(spark):
     out = mm.sample_frames(_media(spark), every_ms=1000)
     rows = sorted((r["media_id"], r["frame_ts_ms"]) for r in out.collect())
     assert rows == [(3, 0), (3, 1000), (3, 2000), (3, 3000)]
+
+
+def test_real_decode_path_when_library_present(spark):
+    """The real-decode branch is gated on an optional import: with Pillow
+    present the same pipeline decodes actual image bytes (no fake flag);
+    without it, the stub raises with a remediation hint. Same tests, both
+    ways."""
+    import pytest
+    from hierarchical_to_relational_spark.operators.multimodal import (
+        decode_and_featurize, image_decoder_available, MEDIA_SCHEMA,
+    )
+
+    if not image_decoder_available():
+        pytest.skip("Pillow not installed in this environment (stub path "
+                    "covered by test_decode_stub_raises_without_fake)")
+    import io
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (32, 32), color=128).save(buf, format="PNG")
+    rows = [(1, "image", "image/png", bytearray(buf.getvalue()), 32, 32, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = decode_and_featurize(df).collect()
+    assert len(out) == 1
+    feat = out[0]["feature"]
+    assert len(feat) == 8 and all(abs(x - 128 / 255) < 0.02 for x in feat)

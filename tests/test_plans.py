@@ -46,3 +46,40 @@ def test_plan_pipeline_surface():
     assert plans["read"].fieldNames() == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     assert plans["table"].fieldNames()[-3:] == ["_lsn", "_commit_ts", "_op"]
     assert plan_cdc_table(envelope_schema()).fieldNames() == plans["table"].fieldNames()
+
+
+def test_macro_deferred_validation():
+    """Reference @Macro semantics (HierarchyConfig.java:121-125): at design
+    time, validation of macro-valued fields is deferred; at runtime an
+    unresolved macro is a failure; resolve_macros substitutes and the
+    resolved config validates normally."""
+    import pytest
+    from pyspark.sql import types as T
+    from hierarchical_to_relational_spark.config import ConfigValidationError, FlattenConfig
+
+    schema = T.StructType([
+        T.StructField("p", T.StringType(), True),
+        T.StructField("c", T.StringType(), True),
+    ])
+    cfg = FlattenConfig(parent_field="${parentCol}", child_field="c",
+                        connect_by_root="${rootSpec}")
+    assert set(cfg.macro_fields) == {"parent_field", "connect_by_root"}
+
+    # design time: macro fields deferred, macro-free fields still checked
+    cfg.validate(schema, runtime=False)
+    bad = FlattenConfig(parent_field="${parentCol}", child_field="missing")
+    with pytest.raises(ConfigValidationError, match="child_field 'missing'"):
+        bad.validate(schema, runtime=False)
+
+    # design-time output schema is unknown with macros
+    assert cfg.output_schema(schema) is None
+
+    # runtime: unresolved macros are a hard failure
+    with pytest.raises(ConfigValidationError, match="unresolved runtime macros"):
+        cfg.validate(schema)
+
+    # substitution resolves; normal validation applies afterwards
+    resolved = cfg.resolve_macros({"parentCol": "p", "rootSpec": "p=RootP"})
+    resolved.validate(schema)
+    assert resolved.connect_by_root_map == {"p": "RootP"}
+    assert resolved.output_schema(schema).fieldNames()[-1] == "RootP"

@@ -225,3 +225,162 @@ def test_overwrite_retry_rereads_and_wins(spark, tmp_path):
     assert calls["n"] == 2
     out = {tuple(r) for r in t.read(spark).select("k", "v").collect()}
     assert out == {("z", 109)}  # second attempt read the racer's state
+
+
+def test_committed_ids_floor_collapse():
+    from hierarchical_to_relational_spark.table.snapshot_table import CommittedIds
+
+    ids = CommittedIds()
+    for i in [0, 1, 2, 3, 5]:
+        ids.add(str(i))
+    ids.add("3::compact")
+    ids.add("replay-abc")
+    ids.compact()
+    assert ids.numeric_floor == 3
+    assert ids.ids == {"5", "replay-abc"}  # contiguous prefix + derived ids collapsed
+    for covered in ["0", "2", "3", "3::compact", "1::evolve", "5", "replay-abc"]:
+        assert covered in ids
+    assert "4" not in ids and "6" not in ids and "replay-xyz" not in ids
+
+
+def test_expire_snapshots_bounds_metadata_and_keeps_idempotence(spark, tmp_path):
+    """After expiration: snapshot file count bounded, idempotence of
+    EXPIRED batch ids survives via the ledger (floor + set), current state
+    unchanged, orphan + dereferenced data dirs collected."""
+    import os
+
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    for i in range(12):
+        t.commit_append(_bucketed(spark, t, [(f"k{i}", i)]), str(i))
+    # fold deltas so old append dirs become dereferenced
+    full = _bucketed(spark, t, [(f"k{i}", i) for i in range(12)])
+    t.commit_overwrite_buckets(full, [0, 1], "12")
+
+    n_dirs_before = len(glob.glob(os.path.join(t.root, "data", "c-*")))
+    # retain only the current snapshot: historical snapshots stop pinning
+    # the superseded append dirs, so they become collectible
+    stats = t.expire_snapshots(retain_last=1, orphan_grace_seconds=0.0)
+    assert stats["expired_snapshots"] == 13  # v0..v12 gone, v13 kept
+    assert len(glob.glob(os.path.join(t.root, "_snapshots", "v*.json"))) == 1
+    assert stats["removed_data_dirs"] > 0
+    assert len(glob.glob(os.path.join(t.root, "data", "c-*"))) < n_dirs_before
+
+    # fresh handle (cold cache): every old batch id still reads committed
+    t2 = SnapshotTable(t.root)
+    for i in range(13):
+        assert t2.commit_append(_bucketed(spark, t2, [("dup", 99)]), str(i)) is False
+    assert t2.commit_append(_bucketed(spark, t2, [("new", 1)]), "13") is True
+    got = {tuple(r) for r in t2.read(spark).select("k", "v").collect()}
+    assert got == {(f"k{i}", i) for i in range(12)} | {("new", 1)}
+
+
+def test_orphan_grace_protects_inflight_commit(spark, tmp_path):
+    """A data dir younger than the grace window is NOT collected even if no
+    snapshot references it (a concurrent writer between data write and
+    pointer swap)."""
+    import os
+
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    t.commit_append(_bucketed(spark, t, [("a", 1)]), "b0")
+    # simulate in-flight: write data without committing the pointer
+    df = _bucketed(spark, t, [("b", 2)])
+    t._write_commit_data(df, SCHEMA, repartition=True)
+    assert len(glob.glob(os.path.join(t.root, "data", "c-*"))) == 2
+    t.expire_snapshots(retain_last=1, orphan_grace_seconds=3600.0)
+    assert len(glob.glob(os.path.join(t.root, "data", "c-*"))) == 2  # survived
+    t.expire_snapshots(retain_last=1, orphan_grace_seconds=0.0)
+    assert len(glob.glob(os.path.join(t.root, "data", "c-*"))) == 1  # collected
+
+
+def test_delta_bytes_from_manifest(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=1)
+    assert t.delta_bytes() == 0
+    t.commit_overwrite_buckets(_bucketed(spark, t, [("base", 0)]), [0], "b0")
+    assert t.delta_bytes() == 0  # base only, no deltas
+    t.commit_append(_bucketed(spark, t, [("d1", 1)]), "b1")
+    t.commit_append(_bucketed(spark, t, [("d2", 2)]), "b2")
+    n = t.delta_bytes()
+    assert n > 0
+    # matches the filesystem truth
+    import os
+    live = t.snapshot()["live"]["0"]
+    fs = sum(
+        os.path.getsize(f)
+        for d in live[1:]
+        for f in glob.glob(os.path.join(t.root, d, "_bucket=0", "*.parquet"))
+    )
+    assert n == fs
+
+
+def test_rebucket_migration(spark, tmp_path):
+    """evolve_buckets: 4 -> 16 buckets; state identical; reads prune on the
+    NEW bucketing; later appends bucket under the new spec; racing commits
+    conflict rather than vanish."""
+    from pyspark.sql import functions as F
+    from hierarchical_to_relational_spark.operators.merge import evolve_buckets
+    from hierarchical_to_relational_spark.table.snapshot_table import ConcurrentOverwriteError
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("v", T.IntegerType(), True),
+        T.StructField("_lsn", T.LongType(), False),
+        T.StructField("_commit_ts", T.TimestampType(), True),
+        T.StructField("_op", T.StringType(), False),
+    ])
+    t = SnapshotTable.create(str(tmp_path / "t"), schema, n_buckets=4)
+    rows = [(f"c{i}", 0, i, i + 1, None, "u") for i in range(40)]
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "_bucket", t.bucket_col()(F.col("conv_id")))
+    t.commit_append(df.select("_bucket", *schema.fieldNames()), "b0")
+    before = {tuple(r) for r in t.read(spark).select("conv_id", "v").collect()}
+
+    assert evolve_buckets(spark, t, 16, batch_id="rebucket-16") is True
+    assert t.n_buckets == 16
+    assert {tuple(r) for r in t.read(spark).select("conv_id", "v").collect()} == before
+
+    # pruned read returns exactly the convs hashing to that bucket under 16
+    expect_b3 = {r["conv_id"] for r in
+                 spark.createDataFrame([(c,) for c, *_ in rows], "conv_id string")
+                 .where(F.pmod(F.xxhash64("conv_id"), F.lit(16)) == 3).collect()}
+    got_b3 = {r["conv_id"] for r in t.read(spark, buckets=[3]).select("conv_id").collect()}
+    assert got_b3 == expect_b3
+
+    # appends after migration land under the new bucketing
+    extra = spark.createDataFrame([("c99", 0, 99, 100, None, "u")], schema).withColumn(
+        "_bucket", t.bucket_col()(F.col("conv_id")))
+    t.commit_append(extra.select("_bucket", *schema.fieldNames()), "b1")
+    assert int(extra.select("_bucket").first()[0]) in [int(b) for b in t.snapshot()["live"]]
+
+    # a rebucket computed against a stale base conflicts
+    stale_base = t.current_version() - 1
+    with pytest.raises(ConcurrentOverwriteError):
+        t.commit_rebucket(df.select("_bucket", *schema.fieldNames()), 8,
+                          "rebucket-8", base_version=stale_base)
+
+
+def test_rollback_and_history(spark, tmp_path):
+    """rollback re-points live to a retained historical version via a NEW
+    commit (history preserved, idempotent); history() lists the log."""
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    d1 = _bucketed(spark, t, [("a", 1)])
+    t.commit_overwrite_buckets(d1, _buckets(d1), "b1")
+    v1 = t.current_version()
+    d2 = _bucketed(spark, t, [("a", 2), ("b", 9)])
+    t.commit_overwrite_buckets(d2, _buckets(d2), "b2")
+    assert {tuple(r) for r in t.read(spark).select("k", "v").collect()} == {("a", 2), ("b", 9)}
+
+    assert t.rollback(v1, batch_id="rb1") is True
+    assert {tuple(r) for r in t.read(spark).select("k", "v").collect()} == {("a", 1)}
+    assert t.rollback(v1, batch_id="rb1") is False  # idempotent
+    assert t.current_version() == v1 + 2  # a new commit, not a deletion
+
+    hist = t.history()
+    assert [h["batch_id"] for h in hist] == ["__create__", "b1", "b2", "rb1"]
+    assert hist[-1]["live_buckets"] == hist[1]["live_buckets"]
+
+    # writes continue normally after rollback
+    d3 = _bucketed(spark, t, [("c", 3)])
+    t.commit_append(d3, "b3")
+    got = {tuple(r) for r in t.read(spark).select("k", "v").collect()}
+    assert got == {("a", 1), ("c", 3)}

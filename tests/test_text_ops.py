@@ -75,3 +75,21 @@ def test_profile_single_pass(spark):
     # single scan, no exchange in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_fingerprint_production_hash_variant(spark):
+    """xxhash64 fingerprint (production path): same stability contract as
+    the md5 contract form — equal content → equal, different → different,
+    short-doc fallback — at integer-hash cost."""
+    df = spark.createDataFrame(
+        [(1, "hello world this is a doc"), (2, "hello world this is a doc"),
+         (3, "completely different"), (4, "abc")],
+        "doc_id int, text string",
+    )
+    for hash_fn in ("xxhash64", "md5"):
+        rows = {r["doc_id"]: r["fp"] for r in
+                df.select("doc_id", tx.rolling_fingerprint("text", hash_fn=hash_fn).alias("fp")).collect()}
+        assert rows[1] == rows[2] and rows[1] != rows[3] and rows[4] is not None
+    # production profile defaults to the integer fingerprint
+    fp_type = dict(tx.profile_documents(df).dtypes)["fingerprint"]
+    assert fp_type == "bigint"
