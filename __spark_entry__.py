@@ -40,6 +40,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a low-split input across all cores before CPU-dense per-row
+    work (hashing/regex). Small corpora arrive as one parquet row group →
+    one input split → ONE task doing all the md5/regex CPU while every
+    other core idles. The repartition shuffles only the raw text (KBs—MBs)
+    to buy full-width parallelism; at 100 TB the input has orders of
+    magnitude more splits than cores and callers would skip this (it's a
+    bench/small-file artifact, which is why the operators themselves stay
+    shuffle-free)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # hierarchy edges shared by the flatten queries: region→nation→supplier
 # ---------------------------------------------------------------------------
@@ -467,11 +479,13 @@ def q_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=16, bands=4, k=5)
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)  # md5-per-posting is CPU-dense
+    return dd.minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=16, bands=4, k=5)
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)  # md5-per-token is CPU-dense
+    return dd.simhash_fingerprint(docs, "doc_id", "text")
 
 
 def _quantized(df: DataFrame, scale: int = 10000) -> DataFrame:
@@ -529,7 +543,7 @@ def q_simhash_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     same output shape as the md5 contract form, ~10x cheaper, not
     SQL-oracle-portable → rows-only driver check."""
     return dd.simhash_fingerprint(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", hash_fn="xxhash64"
+        _spread(_t(spark, sf_dir, "documents"), spark), "doc_id", "text", hash_fn="xxhash64"
     )
 
 
@@ -551,7 +565,7 @@ def q_text_profile_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint is the xxhash64 integer min (~10x cheaper than the md5
     contract form). Not SQL-oracle-portable → rows-only driver check; the
     md5 twin stays hash-checked."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return tx.profile_documents(docs).select(
         "doc_id", "n_tokens_ws", "n_tokens_bpe", "punct_ratio", "stopword_ratio", "lang_guess", "quality", "fingerprint"
     )
@@ -561,7 +575,7 @@ def q_text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 fingerprint here ONLY: this is the oracle-checked contract form
     # (DuckDB replays md5 bit-for-bit). Production profiling defaults to
     # the ~10x cheaper xxhash64 fingerprint (q_text_profile_docs_fast).
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return tx.profile_documents(docs, fingerprint_hash="md5").select(
         "doc_id", "n_tokens_ws", "n_tokens_bpe", "punct_ratio", "stopword_ratio", "lang_guess", "quality", "fingerprint"
     )

@@ -140,12 +140,22 @@ def ivf_centroids(
     broadcast-join assignment plus one (cell, dim) hash aggregation —
     centroid recomputation shuffles n_cells×dim partial means, never
     vectors. All JVM column algebra; no Python on the hot path."""
+    spark = corpus.sparkSession
     v = corpus.select(
         F.col(id_col).alias("_id"),
         _unit(F.col(vec_col).cast("array<double>")).alias("v"),
-    ).where(F.col("v").isNotNull())
+    ).where(F.col("v").isNotNull()).persist()
+
+    def materialize(df: DataFrame) -> DataFrame:
+        # Centroids are n_cells×dim doubles — METADATA, not data: collect
+        # and rebuild as literals so each Lloyd iteration's plan starts
+        # fresh. Leaving them lazy nests the whole iteration chain and
+        # re-executes it at every downstream reference (plan blow-up).
+        rows = [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in df.collect()]
+        return spark.createDataFrame(rows, "cell int, cvec array<double>")
+
     w = Window.orderBy("_h")
-    cent = (
+    cent = materialize(
         v.withColumn("_h", F.xxhash64(F.lit(seed), F.col("_id")))
         .orderBy("_h").limit(n_cells)
         .withColumn("cell", F.row_number().over(w) - 1)
@@ -155,11 +165,12 @@ def ivf_centroids(
         assigned = _assign_cells(v, cent)
         by_dim = assigned.select("cell", F.posexplode("v").alias("pos", "x"))
         means = by_dim.groupBy("cell", "pos").agg(F.avg("x").alias("x"))
-        cent = (
+        cent = materialize(
             means.groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("s"))
             .select("cell", _unit(F.transform("s", lambda t: t["x"])).alias("cvec"))
         )
+    v.unpersist(blocking=False)
     return cent
 
 

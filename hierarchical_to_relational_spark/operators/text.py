@@ -50,11 +50,24 @@ def punct_ratio(col: Column | str) -> Column:
     return F.when(nonspace == 0, F.lit(0.0)).otherwise(punct / nonspace)
 
 
+def _word_tokens(c: Column) -> Column:
+    """Lowercased \\w+ runs. One extraction pass shared by every language's
+    stopword count (identical expression trees → Spark's subexpression
+    elimination computes it once per row, vs one full regex scan per
+    language)."""
+    return F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9_]+"), 0)
+
+
 def stopword_hits(col: Column | str, lang: str = "en") -> Column:
-    """Count of stopword occurrences (word-bounded) for a language."""
+    """Count of stopword occurrences (word-bounded) for a language.
+
+    Implemented as exact-match filtering over the shared ``_word_tokens``
+    extraction — value-identical to ``\\b(w1|w2|...)\\b`` over the lowered
+    text (both \\b and the token pattern treat [a-z0-9_] as word chars, and
+    stopwords are purely alphabetic), but all languages share ONE scan."""
     c = F.col(col) if isinstance(col, str) else col
-    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 0))
+    words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(_word_tokens(c), lambda t: F.array_contains(words, t)))
 
 
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:

@@ -93,3 +93,23 @@ def test_fingerprint_production_hash_variant(spark):
     # production profile defaults to the integer fingerprint
     fp_type = dict(tx.profile_documents(df).dtypes)["fingerprint"]
     assert fp_type == "bigint"
+
+
+def test_stopword_hits_word_boundary_equivalence(spark):
+    """The shared-token-scan stopword count must equal the word-bounded
+    regex form on boundary-tricky inputs (digit/underscore-adjacent words,
+    punctuation, apostrophes)."""
+    from pyspark.sql import functions as F
+    from hierarchical_to_relational_spark.operators.text import LANG_STOPWORDS
+
+    rows = [(1, "the quick the1 the_ the, the. it's to2 to _to to"),
+            (2, "THE The tHe them lathe the"),
+            (3, ""), (4, "und los la le")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for lang in LANG_STOPWORDS:
+        pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+        regex_form = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0))
+        got = df.select("doc_id", tx.stopword_hits("text", lang).alias("a"),
+                        regex_form.alias("b")).collect()
+        for r in got:
+            assert r["a"] == r["b"], (lang, r)
