@@ -114,3 +114,67 @@ def test_full_soak_1000_microbatches(spark, tmp_path):
     # floor trails the last expiration (every 50 batches) by at most one period
     assert ids.numeric_floor >= n_applied - 2 * 50
     assert len(ids.ids) <= 200
+
+
+def test_two_concurrent_writers_same_table(spark, tmp_path):
+    """Two CdcPipeline writers (disjoint conversation shards, distinct
+    batch-id namespaces) race appends AND auto-compactions into the SAME
+    table. The round-2 commit validation must preserve every batch: unseen
+    deltas merge into racing rewrites, conflicting rewrites re-read. Final
+    state equals the union of both shards' pandas oracles."""
+    import threading
+
+    specs = {
+        "a": datagen.BinlogSpec(n_events=300, n_convs=10, seed=41),
+        "b": datagen.BinlogSpec(n_events=300, n_convs=10, seed=42),
+    }
+    events, streams = {}, {}
+    for k, spec in specs.items():
+        ev = datagen.generate_events(spec)
+        # disjoint conv ids and LSN ranges per shard (two binlog partitions)
+        ev["conv_id"] = k + ev["conv_id"]
+        if k == "b":
+            ev["lsn"] = ev["lsn"] + 1_000_000
+        events[k] = ev
+        streams[k] = datagen.arrival_order(ev, spec).copy()
+        d = str(tmp_path / f"binlog-{k}")
+        datagen.write_binlog(streams[k], d, n_segments=1)
+
+    table_root = str(tmp_path / "t")
+    pipes = {
+        k: CdcPipeline(spark, str(tmp_path / f"binlog-{k}"), table_root,
+                       str(tmp_path / f"ck-{k}"), n_buckets=4,
+                       text_mode="none", compact_every=4)
+        for k in specs
+    }
+    errors = []
+
+    def run(k):
+        try:
+            pipe = pipes[k]
+            env = spark.read.schema(pipe.envelope_schema).parquet(str(tmp_path / f"binlog-{k}"))
+            rows = env.collect()
+            per = max(1, len(rows) // 12)
+            n = -(-len(rows) // per)
+            for i in range(n):
+                chunk = rows[i * per: (i + 1) * per]
+                m = pipe.apply_batch(
+                    spark.createDataFrame(chunk, pipe.envelope_schema), f"{k}-{i}")
+                assert m["committed"], f"writer {k} batch {i} dropped"
+        except Exception as e:  # surfaced after join
+            errors.append((k, e))
+
+    ths = [threading.Thread(target=run, args=(k,)) for k in specs]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    assert not errors, errors
+
+    got = (read_transcripts(spark, pipes["a"].table)
+           .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True))
+    want = (pd.concat([datagen.expected_state(events["a"]),
+                       datagen.expected_state(events["b"])])
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype({"turn_idx": "int64"}),
+                                  want.astype({"turn_idx": "int64"}), check_dtype=False)

@@ -72,3 +72,57 @@ def test_json_binlog_source(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype({"turn_idx": "int64"}), want.astype({"turn_idx": "int64"}), check_dtype=False
     )
+
+
+def test_watermarked_sliding_window_counts(spark, tmp_path):
+    """Sliding event-time window (2 min length, 1 min slide) over the
+    stream equals the batch computation — each event lands in 2 windows."""
+    d = str(tmp_path / "bl-slide")
+    events = datagen.generate_events(SPEC)
+    datagen.write_binlog(datagen.arrival_order(events, SPEC), d, n_segments=4)
+
+    stream = stream_binlog(spark, d, max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("commit_ts", "10 minutes")
+        .groupBy(F.window("commit_ts", "2 minutes", "1 minute").alias("w"))
+        .count()
+    )
+    q = (agg.writeStream.format("memory").queryName("slide_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["w"]["start"], r["count"]) for r in spark.table("slide_counts").collect()}
+    env = spark.read.parquet(d)
+    want = {(r["w"]["start"], r["count"]) for r in
+            env.groupBy(F.window("commit_ts", "2 minutes", "1 minute").alias("w"))
+            .count().collect()}
+    assert got == want and len(got) > 2
+    # sliding: total window-event memberships = 2x event count
+    assert sum(c for _, c in got) == 2 * env.count()
+
+
+def test_watermarked_session_window_per_conversation(spark, tmp_path):
+    """session_window (30s gap) per conv_id over the stream equals the
+    batch computation — native event-time sessionization (complements the
+    batch lag/cumsum sessionize contract query)."""
+    d = str(tmp_path / "bl-sess")
+    events = datagen.generate_events(SPEC)
+    datagen.write_binlog(datagen.arrival_order(events, SPEC), d, n_segments=4)
+
+    stream = stream_binlog(spark, d, max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("commit_ts", "10 minutes")
+        .groupBy(F.session_window("commit_ts", "30 seconds").alias("s"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (agg.writeStream.format("memory").queryName("sess_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["conv_id"], r["s"]["start"], r["n"])
+           for r in spark.table("sess_counts").collect()}
+    env = spark.read.parquet(d)
+    want = {(r["conv_id"], r["s"]["start"], r["n"]) for r in
+            env.groupBy(F.session_window("commit_ts", "30 seconds").alias("s"), "conv_id")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and len(got) >= SPEC.n_convs
