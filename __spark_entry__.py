@@ -300,6 +300,26 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer over
+    one quarter, top 20 by revenue (decimal-exact, double-cast at the end)."""
+    customer, orders, lineitem, nation = (
+        _t(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "nation")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .where((F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01")))
+        .where(F.col("l_returnflag") == "R")
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue per nation where supplier and customer share
     the nation, one region, one year."""
@@ -621,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing": q_agg_pricing,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "returned_items": q_returned_items,
         "join_region_revenue": q_join_region_revenue,
         "semi_anti_customers": q_semi_anti_customers,
         "window_top_orders": q_window_top_orders,
@@ -706,6 +727,20 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_orderkey) n_orders
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+                          JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,

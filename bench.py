@@ -77,12 +77,16 @@ def bench_cdc(spark, n_events: int, n_batches: int, work_dir: str) -> dict:
     segs = sorted(
         os.path.join(binlog, p) for p in os.listdir(binlog) if p.endswith(".parquet")
     )
-    # untimed warmup batch into a throwaway table: JIT/codegen compile once
-    # (a production replay amortizes this over hours; steady-state
-    # throughput is the metric)
+    # untimed warmup into a throwaway table: JIT/codegen compile + page
+    # cache (a production replay amortizes this over hours; steady-state
+    # throughput is the metric). Two FULL-SIZED batches — a single tiny
+    # segment leaves the JIT cold and the first timed batches run 2-3x
+    # slower than steady state (measured round 2).
     warm = CdcPipeline(spark, binlog, os.path.join(work_dir, "warm-t"),
                        os.path.join(work_dir, "warm-ck"), n_buckets=32, text_mode=os.environ.get("BENCH_TEXT_MODE", "arrow"))
-    warm.replay_batch(segs[:1], "warmup")
+    per_warm = max(len(segs) // n_batches, 1)
+    warm.replay_batch(segs[:per_warm], "warmup-1")
+    warm.replay_batch(segs[per_warm: 2 * per_warm], "warmup-2")
 
     pipe = CdcPipeline(
         spark,

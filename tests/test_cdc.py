@@ -259,3 +259,33 @@ def test_derived_batch_id_applies_new_segments(spark, tmp_path):
     m3 = pipe.replay_batch(d)
     assert m3["committed"] is True and m3["batch_id"] != m1["batch_id"]
     _assert_matches_oracle(spark, pipe, events)
+
+
+def test_size_based_compaction_trigger(spark, tmp_path):
+    """With a tiny byte threshold (and the depth trigger disabled), the
+    pipeline compacts based on manifest delta-byte stats; state unchanged."""
+    d = str(tmp_path / "binlog")
+    spec = datagen.BinlogSpec(n_events=120, n_convs=6, seed=9)
+    events = datagen.generate_events(spec)
+    datagen.write_binlog(datagen.arrival_order(events, spec), d, n_segments=2)
+
+    pipe = CdcPipeline(spark, d, str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=2, text_mode="none",
+                       compact_every=10_000, compact_min_bytes=1)
+    env = spark.read.schema(pipe.envelope_schema).parquet(d)
+    rows = env.collect()
+    m1 = pipe.apply_batch(spark.createDataFrame(rows[:60], pipe.envelope_schema), 0)
+    m2 = pipe.apply_batch(spark.createDataFrame(rows[60:], pipe.envelope_schema), 1)
+    # first append is all base (no deltas to fold); the second stacks a
+    # delta whose manifest bytes trip the threshold
+    assert "compacted" not in m1 and m2.get("compacted")
+    assert pipe.table.delta_depth() <= 1  # folded down after each batch
+    _assert_matches_oracle(spark, pipe, events)
+
+    # depth-only pipeline with a huge threshold never size-compacts
+    pipe2 = CdcPipeline(spark, d, str(tmp_path / "t2"), str(tmp_path / "ck2"),
+                        n_buckets=2, text_mode="none",
+                        compact_every=10_000, compact_min_bytes=None)
+    pipe2.apply_batch(spark.createDataFrame(rows[:60], pipe2.envelope_schema), 0)
+    m = pipe2.apply_batch(spark.createDataFrame(rows[60:], pipe2.envelope_schema), 1)
+    assert "compacted" not in m and pipe2.table.delta_depth() == 2
