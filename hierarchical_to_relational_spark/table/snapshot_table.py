@@ -182,27 +182,76 @@ class SnapshotTable:
     def n_buckets(self) -> int:
         return self.snapshot()["n_buckets"]
 
-    @property
-    def _ledger_path(self) -> str:
-        return os.path.join(self._snap_dir, "ledger.json")
+    def _ledger_versions(self) -> list[int]:
+        return sorted(
+            int(os.path.basename(p)[len("ledger-v"):-5])
+            for p in glob.glob(os.path.join(self._snap_dir, "ledger-v*.json"))
+        )
+
+    def _ledger_file(self, version: int) -> str:
+        return os.path.join(self._snap_dir, f"ledger-v{version:010d}.json")
 
     def _load_ledger(self) -> None:
-        """Merge the expiration ledger (ids of EXPIRED snapshots, collapsed
-        to a numeric floor) into the in-memory cache when it changed on
-        disk. One stat() per call — cheap enough for every commit."""
-        try:
-            st = os.stat(self._ledger_path)
-            stamp = (st.st_mtime_ns, st.st_size)
-        except FileNotFoundError:
+        """Merge the latest expiration ledger (ids of EXPIRED snapshots,
+        collapsed to a numeric floor) into the in-memory cache when a newer
+        ledger version appeared. One glob per call — the dir holds at most
+        a couple of ledger files."""
+        vs = self._ledger_versions()
+        if not vs:
             return
+        path = self._ledger_file(vs[-1])
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:  # concurrent cleanup; next call re-globs
+            return
+        stamp = (path, st.st_size)
         if stamp == self._ledger_stamp:
             return
-        with open(self._ledger_path) as f:
-            led = json.load(f)
+        try:
+            with open(path) as f:
+                led = json.load(f)
+        except FileNotFoundError:  # pruned under us after a newer write
+            return
         self._ids_cache.numeric_floor = max(self._ids_cache.numeric_floor, led["numeric_floor"])
         self._ids_cache.ids.update(led["ids"])
         self._ids_cache.compact()
         self._ledger_stamp = stamp
+
+    def _write_ledger(self, ids: "CommittedIds", expired_through) -> None:
+        """Versioned O_EXCL ledger write (same protocol as snapshots): a
+        losing concurrent expiration re-reads, re-merges its ids (set
+        union — order-free), and retries, so no expiration can overwrite
+        another's ids. Older ledger versions are pruned after the win."""
+        payload = {"ids": None, "numeric_floor": None, "expired_through": expired_through}
+        for _ in range(20):
+            self._load_ledger()  # fold in any newer ledger before writing
+            ids.ids.update(self._ids_cache.ids)
+            ids.numeric_floor = max(ids.numeric_floor, self._ids_cache.numeric_floor)
+            ids.compact()
+            payload["ids"] = sorted(ids.ids)
+            payload["numeric_floor"] = ids.numeric_floor
+            next_v = (self._ledger_versions()[-1] + 1) if self._ledger_versions() else 1
+            path = self._ledger_file(next_v)
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                continue  # lost the race; re-merge against the winner
+            finally:
+                os.unlink(tmp)
+            st = os.stat(path)
+            self._ledger_stamp = (path, st.st_size)
+            for v in self._ledger_versions()[:-1]:
+                try:
+                    os.unlink(self._ledger_file(v))
+                except FileNotFoundError:
+                    pass
+            return
+        raise CommitConflictError("gave up writing the batch-id ledger after 20 attempts")
 
     def committed_batch_ids(self) -> CommittedIds:
         """Every batch_id ever committed (set-like; bounded — see
@@ -575,9 +624,11 @@ class SnapshotTable:
            concurrent writer that has written data but not yet swapped its
            snapshot pointer (crash leftovers are collected on a later run).
 
-        Single-maintenance-writer op (like Iceberg's): safe against
-        concurrent COMMITS, but don't run two expirations at once — the
-        ledger write is last-writer-wins."""
+        Safe against concurrent COMMITS, and ledger writes use the same
+        versioned O_EXCL protocol as snapshots, so two racing expirations
+        cannot lose each other's ids (the loser re-merges and retries);
+        still prefer one maintenance writer — racing expirations do
+        redundant work."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
@@ -585,25 +636,15 @@ class SnapshotTable:
 
         ids = self.committed_batch_ids()  # ledger ∪ every current snapshot
         ids.compact()
-        tmp = self._ledger_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "numeric_floor": ids.numeric_floor,
-                    "ids": sorted(ids.ids),
-                    "expired_through": to_expire[-1] if to_expire else None,
-                },
-                f,
-            )
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._ledger_path)  # BEFORE deleting snapshots: a
-        # crash in between merely re-merges ids next run (set union)
-        st = os.stat(self._ledger_path)
-        self._ledger_stamp = (st.st_mtime_ns, st.st_size)
+        # ledger BEFORE deleting snapshots: a crash in between merely
+        # re-merges ids next run (set union, order-free)
+        self._write_ledger(ids, expired_through=to_expire[-1] if to_expire else None)
 
         for v in to_expire:
-            os.unlink(self._snapshot_path(v))
+            try:
+                os.unlink(self._snapshot_path(v))
+            except FileNotFoundError:
+                pass  # a racing expiration already removed it — same outcome
 
         removed_dirs = 0
         if clean_orphans:

@@ -384,3 +384,30 @@ def test_rollback_and_history(spark, tmp_path):
     t.commit_append(d3, "b3")
     got = {tuple(r) for r in t.read(spark).select("k", "v").collect()}
     assert got == {("a", 1), ("c", 3)}
+
+
+def test_concurrent_expirations_merge_ledgers(tmp_path):
+    """Two racing expirations must not lose each other's batch ids: the
+    ledger uses versioned O_EXCL writes; the loser re-merges and retries.
+    (Pure-metadata commits — no Spark needed.)"""
+    import threading
+
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    for i in range(40):
+        t._commit(str(i), SCHEMA, lambda live: live)
+    h1, h2 = SnapshotTable(t.root), SnapshotTable(t.root)
+
+    def expire(h):
+        h.expire_snapshots(retain_last=5, clean_orphans=False)
+
+    ths = [threading.Thread(target=expire, args=(h,)) for h in (h1, h2)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+
+    cold = SnapshotTable(t.root)
+    ids = cold.committed_batch_ids()
+    for i in range(40):
+        assert str(i) in ids, f"batch {i} lost by racing expirations"
+    assert glob.glob(os.path.join(t.root, "_snapshots", "ledger-v*.json"))
