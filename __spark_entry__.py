@@ -31,6 +31,7 @@ from hierarchical_to_relational_spark.operators.merge import (
     merge_lww,
     read_transcripts,
 )
+from hierarchical_to_relational_spark.operators.joins import asof_join
 from hierarchical_to_relational_spark.operators.normalize import normalize_envelopes
 from hierarchical_to_relational_spark.table import SnapshotTable
 from hierarchical_to_relational_spark.operators.merge import table_schema_for
@@ -298,6 +299,43 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregations per event_type: HLL++ approximate distinct users
+    (rsd 2%) and approximate value quantiles (p50/p95). Approximate by
+    design and engine-specific → rows-only driver check; the pytest
+    contract asserts relative error vs exact within the configured bounds
+    (tests/test_sketches.py). At 100 TB these replace exact
+    count-distinct/percentile shuffles with constant-size sketch state."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_quantiles"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("event_type", "approx_users", "n_events",
+                F.col("value_quantiles")[0].alias("p50"),
+                F.col("value_quantiles")[1].alias("p95"))
+    )
+
+
+def q_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the latest preceding view
+    event per user (state-at-event-time lookup). One union + one window —
+    no range-join explosion. Right side deduped per (user, ts) so both
+    engines resolve ties identically; DuckDB oracle uses native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts").agg(F.max("event_id").alias("view_id"))
+    )
+    out = asof_join(purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_payload=["view_id"])
+    return out.select("user_id", "event_id", "view_id_asof")
 
 
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "returned_items": q_returned_items,
+        "asof_state": q_asof_state,
+        "sketch_stats": q_sketch_stats,
         "join_region_revenue": q_join_region_revenue,
         "semi_anti_customers": q_semi_anti_customers,
         "window_top_orders": q_window_top_orders,
@@ -727,6 +767,13 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_orderkey) n_orders
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "asof_state": """
+            WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+                 v AS (SELECT user_id, ts, max(event_id) view_id FROM events
+                       WHERE event_type = 'view' GROUP BY user_id, ts)
+            SELECT p.user_id, p.event_id, v.view_id AS view_id_asof
+            FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
         "returned_items": """
             SELECT c_custkey, c_name, n_name,

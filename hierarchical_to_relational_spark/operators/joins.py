@@ -1,0 +1,88 @@
+"""Temporal join operators Spark lacks as built-ins, composed from
+DataFrame primitives (no Python on the hot path).
+
+**As-of join** (``asof_join``): for each left row, attach the single most
+recent right row with ``right_ts <= left_ts`` per key — the canonical
+"state as of event time" lookup (market data, dimension snapshots,
+config-at-time-of-event). Implemented as ONE union + ONE window pass:
+
+    union(left tagged 1, right tagged 0)
+      → last(right payload, ignorenulls) OVER (PARTITION BY keys
+            ORDER BY ts, side ROWS UNBOUNDED PRECEDING)
+      → keep left rows
+
+Cost: one shuffle of |L|+|R| rows on the key — the same exchange a
+sort-merge join would pay, with no range-explosion (a naive
+``l.ts >= r.ts`` join is quadratic per key). Skewed keys behave like any
+window: one task per key partition; salt upstream if a single key exceeds
+a task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str] | None = None,
+    tolerance: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: every left row, plus the latest right payload
+    at or before its timestamp (NULLs when no right row precedes it).
+
+    ``right_payload``: right columns to attach (default: all non-key,
+    non-ts columns), each renamed with ``suffix``. ``tolerance``: optional
+    max allowed (left_ts - right_ts) in the timestamp's native unit
+    (seconds for timestamps); older matches become NULL, matching pandas'
+    ``merge_asof(tolerance=...)``."""
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in on and c != right_ts]
+    out_cols = [f"{c}{suffix}" for c in right_payload]
+
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in right_payload],
+        F.struct(*left.columns).alias("_lrow"),
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_p_{c}") for c in right_payload],
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+        ).alias("_lrow"),
+    )
+    # right rows sort before left rows at equal ts (<= semantics)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ats"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l_tag.unionByName(r_tag)
+    carried = [F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in right_payload]
+    matched_ts = F.last(F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True).over(w)
+    out = (
+        u.select("*", *carried, matched_ts.alias("_mts"))
+        .where(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        stale = F.col("_mts").isNull() | (
+            F.col("_ats").cast("double") - F.col("_mts").cast("double") > F.lit(float(tolerance))
+        )
+        out = out.select(
+            *[c for c in out.columns if c not in out_cols],
+            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in out_cols],
+        )
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *out_cols,
+    )

@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 
 # Approximate-by-design or non-SQL-portable queries: the driver records a
 # rows-only check for these; everything else MUST be value-hash checked.
-ROWS_ONLY = {"ann_ivf_topk", "simhash_docs_fast", "text_profile_docs_fast"}
+ROWS_ONLY = {"ann_ivf_topk", "simhash_docs_fast", "text_profile_docs_fast", "sketch_stats"}
 
 
 def test_oracle_keys_subset_of_queries():

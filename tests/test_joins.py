@@ -1,0 +1,64 @@
+"""As-of join operator: backward match, <= semantics, tolerance, no
+right-row explosion."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from hierarchical_to_relational_spark.operators.joins import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "c1"), ("u1", 25, "c2"), ("u1", 5, "c0"), ("u2", 50, "c3")],
+        "user string, ts long, click string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, "s1"), ("u1", 25, "s2"), ("u1", 30, "s3"), ("u3", 1, "sx")],
+        "user string, ts long, state string",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts")
+    got = {(r["user"], r["ts"]): r["state_asof"] for r in out.collect()}
+    assert got == {
+        ("u1", 5): None,      # nothing at or before 5
+        ("u1", 10): "s1",     # 8 <= 10
+        ("u1", 25): "s2",     # equal ts matches (<=)
+        ("u2", 50): None,     # key with no right rows
+    }
+    assert out.count() == left.count()  # exactly one row per left row
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on=["user"], left_ts="ts", right_ts="ts", tolerance=1)
+    got = {(r["user"], r["ts"]): r["state_asof"] for r in out.collect()}
+    # inclusive tolerance: 10-8=2 > 1 -> stale -> NULL; 25-25=0 -> kept
+    assert got == {("u1", 5): None, ("u1", 10): None, ("u1", 25): "s2", ("u2", 50): None}
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Random-ish data vs pandas.merge_asof (the behavioral oracle)."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    l = pd.DataFrame({
+        "k": rng.integers(0, 5, 200).astype(str),
+        "ts": rng.integers(0, 1000, 200).astype("int64"),
+    }).drop_duplicates(["k", "ts"]).sort_values("ts").reset_index(drop=True)
+    r = pd.DataFrame({
+        "k": rng.integers(0, 5, 100).astype(str),
+        "ts": rng.integers(0, 1000, 100).astype("int64"),
+        "v": rng.integers(0, 10**6, 100).astype("int64"),
+    }).drop_duplicates(["k", "ts"]).sort_values("ts").reset_index(drop=True)
+    want = pd.merge_asof(l, r, on="ts", by="k", direction="backward").rename(columns={"v": "v_asof"})
+
+    out = asof_join(spark.createDataFrame(l), spark.createDataFrame(r),
+                    on=["k"], left_ts="ts", right_ts="ts").toPandas()
+    got = out.sort_values(["ts", "k"]).reset_index(drop=True)
+    want = want.sort_values(["ts", "k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "ts", "v_asof"]], want[["k", "ts", "v_asof"]],
+                                  check_dtype=False)

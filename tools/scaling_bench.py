@@ -68,9 +68,12 @@ def run_at(cpus: int, cpuset: str | None, events: int, batches: int) -> dict:
 
 
 def main() -> None:
-    events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    batches = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    # defaults = the round-2 protocol that produced BENCH/BASELINE.md:
+    # 4 batches keeps Spark's ~1.1s/batch driver constant ≤15% of an
+    # 8-core batch (production batches are far larger still)
+    events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
     obs: dict[int, list[dict]] = {c: [] for c, _ in LEVELS}
     ctrl: dict[int, list[float]] = {c: [] for c, _ in LEVELS}
