@@ -31,7 +31,7 @@ from hierarchical_to_relational_spark.operators.merge import (
     merge_lww,
     read_transcripts,
 )
-from hierarchical_to_relational_spark.operators.joins import asof_join
+from hierarchical_to_relational_spark.operators.joins import asof_join, interval_join
 from hierarchical_to_relational_spark.operators.normalize import normalize_envelopes
 from hierarchical_to_relational_spark.table import SnapshotTable
 from hierarchical_to_relational_spark.operators.merge import table_schema_for
@@ -299,6 +299,21 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: clicks landing within 1 hour after each error,
+    per user — bucketized into hour-wide equi-join buckets + exact range
+    filter (no nested-loop range join; plan-asserted in test_joins)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("err_id"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("err_end"))
+    out = interval_join(clicks, errors, on=["user_id"], point_ts="click_ts",
+                        start_ts="err_ts", end_ts="err_end", bucket_seconds=3600)
+    return out.select("user_id", "err_id", "click_id")
 
 
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "returned_items": q_returned_items,
         "asof_state": q_asof_state,
+        "interval_join": q_interval_join,
         "sketch_stats": q_sketch_stats,
         "join_region_revenue": q_join_region_revenue,
         "semi_anti_customers": q_semi_anti_customers,
@@ -774,6 +790,16 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type = 'view' GROUP BY user_id, ts)
             SELECT p.user_id, p.event_id, v.view_id AS view_id_asof
             FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "interval_join": """
+            WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+                       FROM events WHERE event_type = 'click'),
+                 e AS (SELECT user_id, ts AS err_ts, ts + INTERVAL 1 HOUR AS err_end,
+                              event_id AS err_id
+                       FROM events WHERE event_type = 'error')
+            SELECT c.user_id, e.err_id, c.click_id
+            FROM c JOIN e ON c.user_id = e.user_id
+                         AND c.click_ts >= e.err_ts AND c.click_ts <= e.err_end
         """,
         "returned_items": """
             SELECT c_custkey, c_name, n_name,

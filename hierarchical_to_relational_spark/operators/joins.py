@@ -20,7 +20,18 @@ a task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _epoch_seconds(df: DataFrame, colname: str) -> Column:
+    """Numeric time columns pass through; TIMESTAMP/TIMESTAMP_NTZ become
+    epoch seconds (NTZ can't cast to DOUBLE directly in Spark 4; the
+    session-tz interpretation is consistent across both join sides, which
+    is all bucketing/tolerance arithmetic needs)."""
+    c = F.col(colname)
+    if df.schema[colname].dataType.typeName() in ("timestamp", "timestamp_ntz"):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
 
 
 def asof_join(
@@ -75,9 +86,8 @@ def asof_join(
         .where(F.col("_side") == 1)
     )
     if tolerance is not None:
-        stale = F.col("_mts").isNull() | (
-            F.col("_ats").cast("double") - F.col("_mts").cast("double") > F.lit(float(tolerance))
-        )
+        ats, mts = _epoch_seconds(out, "_ats"), _epoch_seconds(out, "_mts")
+        stale = F.col("_mts").isNull() | (ats - mts > F.lit(float(tolerance)))
         out = out.select(
             *[c for c in out.columns if c not in out_cols],
             *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in out_cols],
@@ -86,3 +96,39 @@ def asof_join(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
         *out_cols,
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Range/interval join at scale: every (point, interval) pair with
+    ``start_ts <= point_ts <= end_ts`` per key.
+
+    A naive inequality join plans as a per-key nested loop (quadratic in
+    hot keys; OSS Spark has no range-join optimization). This is the
+    bucketized form: intervals explode into the fixed-width time buckets
+    they cover, points map to their single bucket, the join is a plain
+    EQUI-join on (key, bucket), and the exact range predicate filters the
+    bucket-coarse candidates. Cost: |P| + |I|·(avg interval span /
+    bucket_seconds) rows shuffled through a hash join — pick
+    ``bucket_seconds`` near the typical interval length so intervals
+    explode into O(1) buckets each.
+
+    Output: all point columns + the interval's columns (caller aliases any
+    collisions beforehand)."""
+    p_bucket = F.floor(_epoch_seconds(points, point_ts) / bucket_seconds).cast("long")
+    i_from = F.floor(_epoch_seconds(intervals, start_ts) / bucket_seconds).cast("long")
+    i_to = F.floor(_epoch_seconds(intervals, end_ts) / bucket_seconds).cast("long")
+
+    p = points.withColumn("_bkt", p_bucket)
+    i = intervals.withColumn("_bkt", F.explode(F.sequence(i_from, i_to)))
+    joined = p.join(i, [*on, "_bkt"]).where(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("_bkt")

@@ -62,3 +62,32 @@ def test_asof_matches_pandas_merge_asof(spark):
     want = want.sort_values(["ts", "k"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "ts", "v_asof"]], want[["k", "ts", "v_asof"]],
                                   check_dtype=False)
+
+
+def test_interval_join_equals_naive_and_avoids_nested_loop(spark):
+    """Bucketized interval join returns exactly the naive inequality-join
+    pairs, with an equi-join (hash/sort-merge) plan — no per-key nested
+    loop."""
+    from pyspark.sql import functions as F
+    from hierarchical_to_relational_spark.operators.joins import interval_join
+
+    import numpy as np
+    rng = np.random.default_rng(11)
+    pts = spark.createDataFrame(
+        [(str(k), int(t), i) for i, (k, t) in enumerate(
+            zip(rng.integers(0, 4, 150), rng.integers(0, 5000, 150)))],
+        "k string, ts long, pid int")
+    iv = spark.createDataFrame(
+        [(str(k), int(s), int(s + d), i) for i, (k, s, d) in enumerate(
+            zip(rng.integers(0, 4, 40), rng.integers(0, 5000, 40), rng.integers(1, 900, 40)))],
+        "k string, s long, e long, iid int")
+
+    out = interval_join(pts, iv, on=["k"], point_ts="ts", start_ts="s",
+                        end_ts="e", bucket_seconds=600)
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    naive = pts.join(iv, "k").where((F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e")))
+    want = {(r["pid"], r["iid"]) for r in naive.collect()}
+    assert got == want and len(got) > 10
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
