@@ -37,9 +37,12 @@ HEADLINE = [
     "merge_upsert",
     "normalize_roundtrip",
     "agg_pricing",
+    "returned_items",
     "join_region_revenue",
     "window_top_orders",
     "sessionize",
+    "asof_state",
+    "interval_join",
     "minhash_lsh_docs",
     "simhash_docs",
     "simhash_docs_fast",

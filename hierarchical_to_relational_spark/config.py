@@ -101,6 +101,7 @@ class FlattenConfig:
             "connect_by_root": self.connect_by_root,
             "path_field": self.path_field,
             "path_alias_field": self.path_alias_field,
+            "path_separator": self.path_separator,
         }
         return [k for k, v in candidates.items() if is_macro(v)]
 
@@ -120,7 +121,8 @@ class FlattenConfig:
             **{
                 f: sub(getattr(self, f))
                 for f in ("parent_field", "child_field", "level_field", "bottom_field",
-                          "start_with", "connect_by_root", "path_field", "path_alias_field")
+                          "start_with", "connect_by_root", "path_field",
+                          "path_alias_field", "path_separator")
             },
         )
 

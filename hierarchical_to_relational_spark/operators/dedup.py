@@ -206,6 +206,12 @@ def simhash_fingerprint(
             for i in range(sim_bits)
         ]
     else:
+        if sim_bits > 16:
+            # Java shift amounts wrap mod 64: nibble 16 would silently
+            # duplicate nibble 0 and the extra bits would carry no signal
+            raise ValueError(
+                f"hash_fn='xxhash64' supports sim_bits <= 16 (64-bit word); got {sim_bits}"
+            )
         hashed = toks.select(id_col, F.xxhash64(F.col("tok")).alias("h"))
         nib_vals = [
             F.shiftrightunsigned(F.col("h"), 4 * i).bitwiseAND(F.lit(15)).alias(f"n{i}")

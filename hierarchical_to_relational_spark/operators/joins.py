@@ -56,6 +56,18 @@ def asof_join(
         right_payload = [c for c in right.columns if c not in on and c != right_ts]
     out_cols = [f"{c}{suffix}" for c in right_payload]
 
+    # Determinism: duplicate right rows at the same (key, ts) would make
+    # F.last() pick whichever lands physically last in the window's tie
+    # region — partitioning-dependent. Collapse them to the MAX payload
+    # struct first (one hash agg with map-side combine; requires orderable
+    # payload types — arrays yes, maps no).
+    packed = right.groupBy(*on, right_ts).agg(
+        F.max(F.struct(*right_payload)).alias("_rp")
+    )
+    right = packed.select(
+        *on, right_ts, *[F.col(f"_rp.{c}").alias(c) for c in right_payload]
+    )
+
     l_tag = left.select(
         *on,
         F.col(left_ts).alias("_ats"),

@@ -110,7 +110,13 @@ def decode_and_featurize(df: DataFrame, deterministic_fake: bool = False, dim: i
                 shas.append(hashlib.sha256(raw).hexdigest())
                 nbytes.append(len(raw))
                 if decoder is not None and kind == "image" and raw:
-                    feats.append(image_feature(raw))
+                    try:
+                        feats.append(image_feature(raw))
+                    except Exception:
+                        # corrupt/unparseable blob: fall back to the hash
+                        # feature instead of failing the task 4x and
+                        # aborting the whole job for one bad row
+                        feats.append(hash_feature(raw))
                 else:
                     feats.append(hash_feature(raw))
             yield pd.DataFrame(

@@ -103,8 +103,11 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), (F.col("query_id") != F.col("neighbor_id")) & (q["bucket"] == c["bucket"]))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
-        .distinct()  # a neighbor can match several probe buckets
     )
+    if probe_hamming >= 1:
+        # a neighbor can match several probe buckets; single-probe pairs
+        # are already unique — don't pay the dedup exchange there
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -151,7 +154,10 @@ def ivf_centroids(
         # and rebuild as literals so each Lloyd iteration's plan starts
         # fresh. Leaving them lazy nests the whole iteration chain and
         # re-executes it at every downstream reference (plan blow-up).
-        rows = [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in df.collect()]
+        # a cell of antipodal vectors can have a zero-norm mean (_unit ->
+        # NULL): drop it — k-means simply proceeds with fewer cells
+        rows = [(int(r["cell"]), [float(x) for x in r["cvec"]])
+                for r in df.collect() if r["cvec"] is not None]
         return spark.createDataFrame(rows, "cell int, cvec array<double>")
 
     w = Window.orderBy("_h")

@@ -9,10 +9,16 @@ from hierarchical_to_relational_spark.operators.merge import table_schema_for
 from hierarchical_to_relational_spark.operators.normalize import META_LSN, META_TS
 
 
-def plan_flatten(input_schema: T.StructType, cfg: FlattenConfig) -> T.StructType:
+def plan_flatten(input_schema: T.StructType, cfg: FlattenConfig) -> T.StructType | None:
     """Validate + derive the flatten stage's output schema
-    (reference O21/O25: input + level/bottom/path/root columns)."""
-    cfg.validate(input_schema)
+    (reference O21/O25: input + level/bottom/path/root columns).
+
+    This is the DESIGN-TIME analyze (reference configurePipeline):
+    validation of ``${...}`` macro-valued fields is deferred, and with
+    macros pending the output schema is unknown → None (the reference
+    returns a null schema). flatten() itself validates with runtime=True
+    and rejects unresolved macros at execution."""
+    cfg.validate(input_schema, runtime=False)
     return cfg.output_schema(input_schema)
 
 

@@ -89,13 +89,16 @@ class CommittedIds:
             self.ids.add(batch_id)
 
     def compact(self) -> None:
-        """Advance the floor over a contiguous run of numeric ids and drop
-        every id the floor now covers. Derived ids (``N::compact``,
-        ``N::evolve``) are dropped with their parent: they can only
-        re-fire when batch N itself replays, which the floor suppresses —
-        and a spurious re-compaction is merely redundant work, never
-        incorrect (compaction is state-preserving)."""
-        present = {int(m.group(1)) for m in map(self._NUM.match, self.ids) if m}
+        """Advance the floor over a contiguous run of PURE numeric ids and
+        drop every id the floor now covers. Only bare epoch ids ("7") move
+        the floor — a derived or caller-chosen id like "7::manual" proves
+        nothing about epoch 7 having committed, and letting it advance the
+        floor would silently no-op epoch 7 when it later arrives (data
+        loss). Derived ids (``N::compact``, ``N::evolve``) are still
+        DROPPED once the floor covers N: they can only re-fire when batch N
+        itself replays, which the floor suppresses — and a spurious
+        re-compaction is merely redundant work, never incorrect."""
+        present = {int(i) for i in self.ids if i.isdigit()}
         while self.numeric_floor + 1 in present:
             self.numeric_floor += 1
         self.ids = {
@@ -262,7 +265,14 @@ class SnapshotTable:
         self._load_ledger()
         for v in self._versions():
             if v > self._ids_scanned_to:
-                self._ids_cache.add(self.snapshot(v)["batch_id"])
+                try:
+                    self._ids_cache.add(self.snapshot(v)["batch_id"])
+                except FileNotFoundError:
+                    # a racing expiration unlinked v between our glob and
+                    # open. Its id is NOT lost: expiration writes the
+                    # ledger (containing every expired id) BEFORE deleting
+                    # snapshot files, so re-loading the ledger recovers it.
+                    self._load_ledger()
                 self._ids_scanned_to = v
         return self._ids_cache
 
@@ -650,7 +660,13 @@ class SnapshotTable:
         if clean_orphans:
             referenced: set[str] = set()
             for v in versions[-retain_last:]:
-                for ds in self.snapshot(v)["live"].values():
+                try:
+                    snap_v = self.snapshot(v)
+                except FileNotFoundError:
+                    continue  # a racing expiration (smaller retain window)
+                    # removed it; any dirs only it referenced are protected
+                    # by the orphan grace window until a later run
+                for ds in snap_v["live"].values():
                     referenced.update(ds)
             now = time.time()
             for p in glob.glob(os.path.join(self._data_dir, "c-*")):

@@ -91,3 +91,15 @@ def test_interval_join_equals_naive_and_avoids_nested_loop(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_right_duplicates_deterministic(spark):
+    """Duplicate right rows at the same (key, ts) resolve to the MAX
+    payload — deterministically, not partitioning-dependent."""
+    left = spark.createDataFrame([("u", 10, "c")], "k string, ts long, c string")
+    right = spark.createDataFrame(
+        [("u", 8, "a"), ("u", 8, "z"), ("u", 8, "m")], "k string, ts long, v string")
+    for _ in range(3):
+        out = asof_join(left.repartition(4), right.repartition(7),
+                        on=["k"], left_ts="ts", right_ts="ts")
+        assert out.collect()[0]["v_asof"] == "z"

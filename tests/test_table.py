@@ -411,3 +411,19 @@ def test_concurrent_expirations_merge_ledgers(tmp_path):
     for i in range(40):
         assert str(i) in ids, f"batch {i} lost by racing expirations"
     assert glob.glob(os.path.join(t.root, "_snapshots", "ledger-v*.json"))
+
+
+def test_floor_not_poisoned_by_derived_ids():
+    """A caller-chosen id like '7::manual' must NOT advance the floor past
+    epoch 7 — otherwise a later real epoch-7 batch would silently no-op
+    (data loss)."""
+    from hierarchical_to_relational_spark.table.snapshot_table import CommittedIds
+
+    ids = CommittedIds()
+    for i in ("0", "1", "2", "3::manual", "4"):
+        ids.add(i)
+    ids.compact()
+    assert ids.numeric_floor == 2      # stops before the uncommitted "3"
+    assert "3" not in ids              # epoch 3 still applies when it arrives
+    assert "3::manual" in ids          # the derived id itself stays committed
+    assert "1::compact" in ids         # derived ids under the floor are covered
