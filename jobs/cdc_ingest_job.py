@@ -29,6 +29,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mode", choices=["mor", "cow"], default="mor")
     p.add_argument("--n-buckets", type=int, default=256)
     p.add_argument("--compact-every", type=int, default=16)
+    p.add_argument("--compact-min-mb", type=float, default=None,
+                   help="also compact when any bucket's stacked deltas exceed this "
+                        "many MiB (manifest byte stats; no filesystem listing)")
+    p.add_argument("--expire-every", type=int, default=None,
+                   help="expire old snapshots + collect orphans every N applied "
+                        "batches (unbounded-stream metadata hygiene)")
+    p.add_argument("--retain-snapshots", type=int, default=100)
+    p.add_argument("--orphan-grace-s", type=float, default=3600.0)
     p.add_argument("--text-mode", choices=["builtin", "arrow", "none"], default="builtin")
     p.add_argument("--source-format", choices=["parquet", "json"], default="parquet")
     p.add_argument("--max-files-per-trigger", type=int, default=16)
@@ -64,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
         text_mode=args.text_mode,
         mode=args.mode,
         compact_every=args.compact_every,
+        compact_min_bytes=(int(args.compact_min_mb * 2**20)
+                           if args.compact_min_mb is not None else None),
+        expire_every=args.expire_every,
+        retain_snapshots=args.retain_snapshots,
+        orphan_grace_seconds=args.orphan_grace_s,
         source_format=args.source_format,
     )
     if args.stream:

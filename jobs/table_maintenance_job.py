@@ -1,0 +1,104 @@
+"""spark-submit maintenance CLI for a transcripts SnapshotTable: the ops
+surface for every table-lifecycle operation the engine supports.
+
+    spark-submit --py-files /tmp/h2r.zip jobs/table_maintenance_job.py \\
+        --table /data/transcripts <action> [options]
+
+Actions:
+  compact    fold merge-on-read deltas copy-on-write (optionally expiring
+             tombstones below an LSN watermark)
+  expire     expire old snapshots + collect orphan data dirs (bounded
+             metadata for unbounded streams)
+  rebucket   migrate to a new bucket count (full rewrite, new bucket spec)
+  rollback   roll the table back to a retained historical version
+  history    print the snapshot log
+  status     print current version / bucket spec / delta depth+bytes /
+             lineage monitoring summary
+
+Every mutating action is an idempotent commit keyed by --batch-id (default
+derives one from the action + arguments), so a re-run after a crash is a
+no-op — same exactly-once contract as ingest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="SnapshotTable maintenance")
+    p.add_argument("--table", required=True)
+    sub = p.add_subparsers(dest="action", required=True)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--batch-id", default=None)
+    c.add_argument("--expire-tombstones-below", type=int, default=None)
+
+    e = sub.add_parser("expire")
+    e.add_argument("--retain-last", type=int, default=100)
+    e.add_argument("--orphan-grace-s", type=float, default=3600.0)
+    e.add_argument("--no-clean-orphans", action="store_true")
+
+    rb = sub.add_parser("rebucket")
+    rb.add_argument("--n-buckets", type=int, required=True)
+    rb.add_argument("--batch-id", default=None)
+
+    ro = sub.add_parser("rollback")
+    ro.add_argument("--to-version", type=int, required=True)
+    ro.add_argument("--batch-id", default=None)
+
+    sub.add_parser("history")
+    sub.add_parser("status")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from hierarchical_to_relational_spark.lineage import LineageStore
+    from hierarchical_to_relational_spark.operators.merge import compact, evolve_buckets
+    from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
+
+    table = SnapshotTable(args.table)
+    out: dict
+
+    if args.action == "history":
+        out = {"history": table.history()}
+    elif args.action == "status":
+        out = {
+            "version": table.current_version(),
+            "n_buckets": table.n_buckets,
+            "delta_depth": table.delta_depth(),
+            "delta_bytes_max_bucket": table.delta_bytes(),
+            "monitoring": LineageStore(args.table).monitoring_summary(),
+        }
+    elif args.action == "expire":
+        out = table.expire_snapshots(
+            retain_last=args.retain_last,
+            clean_orphans=not args.no_clean_orphans,
+            orphan_grace_seconds=args.orphan_grace_s,
+        )
+    else:
+        spark = SparkSession.builder.appName(f"h2r-maintenance-{args.action}").getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        if args.action == "compact":
+            bid = args.batch_id or f"maintenance-compact-v{table.current_version()}"
+            out = {"committed": compact(spark, table, batch_id=bid,
+                                        expire_tombstones_below=args.expire_tombstones_below),
+                   "batch_id": bid}
+        elif args.action == "rebucket":
+            bid = args.batch_id or f"maintenance-rebucket-{args.n_buckets}-v{table.current_version()}"
+            out = {"committed": evolve_buckets(spark, table, args.n_buckets, batch_id=bid),
+                   "batch_id": bid, "n_buckets": args.n_buckets}
+        else:  # rollback
+            bid = args.batch_id or f"maintenance-rollback-{args.to_version}"
+            out = {"committed": table.rollback(args.to_version, batch_id=bid),
+                   "batch_id": bid, "to_version": args.to_version}
+        out["table_version"] = table.current_version()
+
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,72 @@
+"""Maintenance CLI (jobs/table_maintenance_job.py): every action against a
+live table, in-process (the spark-submit surface shares main())."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/jobs")
+
+from hierarchical_to_relational_spark import datagen
+from hierarchical_to_relational_spark.operators.merge import read_transcripts
+from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    spec = datagen.BinlogSpec(n_events=150, n_convs=8, seed=5)
+    ev = datagen.generate_events(spec)
+    d = str(tmp_path / "binlog")
+    datagen.write_binlog(datagen.arrival_order(ev, spec), d, n_segments=3)
+    pipe = CdcPipeline(spark, d, str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=4, text_mode="none")
+    for i, seg in enumerate(sorted((tmp_path / "binlog").glob("*.parquet"))):
+        pipe.replay_batch([str(seg)], f"b{i}")
+    return str(tmp_path / "t"), ev
+
+
+def _run(capsys, *argv) -> dict:
+    import table_maintenance_job as M
+
+    assert M.main(list(argv)) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_all_actions(spark, tmp_path, capsys, table):
+    root, events = table
+    st = _run(capsys, "--table", root, "status")
+    assert st["version"] == 3 and st["delta_depth"] == 3
+    assert st["monitoring"]["batches_committed"] == 3
+
+    c = _run(capsys, "--table", root, "compact")
+    assert c["committed"] is True
+    # idempotent re-run with the derived id of the PREVIOUS version is new;
+    # explicit batch-id proves the exactly-once contract
+    c2 = _run(capsys, "--table", root, "compact", "--batch-id", c["batch_id"])
+    assert c2["committed"] is False
+
+    rb = _run(capsys, "--table", root, "rebucket", "--n-buckets", "8")
+    assert rb["committed"] is True and SnapshotTable(root).n_buckets == 8
+
+    v_before = SnapshotTable(root).current_version()
+    ro = _run(capsys, "--table", root, "rollback", "--to-version", str(v_before))
+    assert ro["committed"] is True
+
+    ex = _run(capsys, "--table", root, "expire", "--retain-last", "2", "--orphan-grace-s", "0")
+    assert ex["expired_snapshots"] > 0
+
+    hist = _run(capsys, "--table", root, "history")
+    assert len(hist["history"]) == 2  # retained window
+
+    # state equals the pandas oracle through the whole lifecycle
+    got = (read_transcripts(spark, SnapshotTable(root))
+           .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True))
+    import pandas as pd
+    want = datagen.expected_state(events)
+    pd.testing.assert_frame_equal(got.astype({"turn_idx": "int64"}),
+                                  want.astype({"turn_idx": "int64"}), check_dtype=False)
