@@ -316,6 +316,18 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "err_id", "click_id")
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets: order counts + decimal-exact totals over every
+    combination of (order status, priority) including both marginals and
+    the grand total (completes the rollup/pivot/grouping-sets family)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"))
+    )
+
+
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations per event_type: HLL++ approximate distinct users
     (rsd 2%) and approximate value quantiles (p50/p95). Approximate by
@@ -697,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "asof_state": q_asof_state,
         "interval_join": q_interval_join,
+        "cube_orders": q_cube_orders,
         "sketch_stats": q_sketch_stats,
         "join_region_revenue": q_join_region_revenue,
         "semi_anti_customers": q_semi_anti_customers,
@@ -790,6 +803,11 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type = 'view' GROUP BY user_id, ts)
             SELECT p.user_id, p.event_id, v.view_id AS view_id_asof
             FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) total_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "interval_join": """
             WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id

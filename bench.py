@@ -117,12 +117,19 @@ def main() -> None:
     queries = E.queries()
     timings: dict[str, float] = {}
     headline = [] if os.environ.get("BENCH_CDC_ONLY") else HEADLINE
+    passes = int(os.environ.get("BENCH_QUERY_PASSES", "2"))
     for name in headline:
-        df = queries[name](spark, sf_dir)
-        t0 = time.monotonic()
-        # noop sink forces full materialization of every column
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(passes):
+            # fresh plan per pass (no cached DataFrame state); min-of-N
+            # because this host's CPU steal swings single-shot timings 3-5x
+            df = queries[name](spark, sf_dir)
+            t0 = time.monotonic()
+            # noop sink forces full materialization of every column
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     import tempfile
 

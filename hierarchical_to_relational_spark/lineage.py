@@ -57,7 +57,9 @@ class LineageStore:
         """Operational snapshot for a live stream: batch/commit counts,
         row totals, rolling throughput, compactions, watermark lag inputs.
         Driver-side JSONL fold — no Spark job; cheap enough to poll."""
-        es = self.entries()
+        all_entries = self.entries()
+        progress = [e for e in all_entries if e.get("type") == "progress"]
+        es = [e for e in all_entries if e.get("type") != "progress"]
         committed = [e for e in es if e.get("committed")]
         dur = sum(e.get("duration_s") or 0.0 for e in committed)
         rows = sum(e.get("rows_written") or 0 for e in committed)
@@ -73,4 +75,8 @@ class LineageStore:
             "applied_lsn_watermark": self.applied_lsn_watermark(),
             "min_bucket_lsn": min(self.bucket_lsn_watermarks().values(), default=None),
             "last_batch_at": max((e.get("recorded_at") or 0) for e in es) if es else None,
+            # live-tail telemetry (present when run_stream(record_progress=True))
+            "progress_events": len(progress),
+            "last_stream_rate": (progress[-1].get("processed_rows_per_second")
+                                 if progress else None),
         }

@@ -19,6 +19,8 @@ order-insensitive and convergent (SURVEY.md §2.2 streaming row).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, types as T
 
 from hierarchical_to_relational_spark.lineage import LineageStore
@@ -26,6 +28,46 @@ from hierarchical_to_relational_spark.operators.merge import apply_cdc_batch, co
 from hierarchical_to_relational_spark.operators.normalize import normalize_envelopes, turn_fields
 from hierarchical_to_relational_spark.sources import binlog as binlog_source
 from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
+
+
+class ProgressLineageListener:
+    """StreamingQueryListener that records every micro-batch progress event
+    into the table's lineage log (``type='progress'``): batch id, input
+    rows, processing rate, per-phase durations. Together with the per-batch
+    commit records this makes a live tail monitorable from the lineage
+    JSONL alone — no Spark UI needed. Filtered by query name so multiple
+    streams on one session don't cross-log."""
+
+    def __new__(cls, lineage: LineageStore, query_name: str):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                if p.name != query_name:
+                    return
+                lineage.record(
+                    {
+                        "type": "progress",
+                        "query_name": p.name,
+                        "stream_batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "processed_rows_per_second": p.processedRowsPerSecond,
+                        "duration_ms": dict(p.durationMs or {}),
+                        "event_ts": p.timestamp,
+                    }
+                )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        return _L()
 
 
 class CdcPipeline:
@@ -108,6 +150,7 @@ class CdcPipeline:
         await_termination: bool = True,
         processing_time: str | None = None,
         timeout_s: float | None = None,
+        record_progress: bool = False,
     ):
         """Tail the binlog as a checkpointed, resumable stream.
 
@@ -125,8 +168,15 @@ class CdcPipeline:
             self.spark, self.binlog_dir, self.envelope_schema, max_files_per_trigger,
             fmt=self.source_format,
         )
+        query_name = f"h2r-cdc-{os.path.basename(self.checkpoint_dir.rstrip('/'))}"
+        if record_progress:
+            # register BEFORE start so the first micro-batch is captured
+            self.spark.streams.addListener(
+                ProgressLineageListener(self.lineage, query_name)
+            )
         writer = (
             stream.writeStream.foreachBatch(lambda df, bid: self.apply_batch(df, bid))
+            .queryName(query_name)
             .option("checkpointLocation", self.checkpoint_dir)
         )
         if processing_time is None:

@@ -39,7 +39,7 @@ def test_live_tail_processing_time_trigger(spark, tmp_path):
     pipe = CdcPipeline(spark, binlog, str(tmp_path / "t"), str(tmp_path / "ck"),
                        n_buckets=8, text_mode="none")
     query = pipe.run_stream(max_files_per_trigger=2, await_termination=False,
-                            processing_time="1 second")
+                            processing_time="1 second", record_progress=True)
     try:
         assert _wait_for(lambda: pipe.lineage.applied_lsn_watermark() is not None)
         # waves 1..3 land while the query is live — atomically (stage +
@@ -89,11 +89,16 @@ def test_live_tail_processing_time_trigger(spark, tmp_path):
         q2.stop()
     assert pipe2.table.current_version() == v_before
 
-    # monitoring: lineage summary reflects the run
+    # monitoring: lineage summary reflects the run, including the stream's
+    # own progress telemetry (StreamingQueryListener -> lineage)
     mon = pipe2.lineage.monitoring_summary()
     assert mon["applied_lsn_watermark"] == int(stream_rows["lsn"].max())
     assert mon["batches_committed"] >= 4  # at least one per wave
     assert mon["rows_written"] > 0 and mon["rows_per_sec"] is not None
+    assert mon["progress_events"] >= 4
+    prog = [e for e in pipe2.lineage.entries() if e.get("type") == "progress"]
+    assert {p["stream_batch_id"] for p in prog} >= {0, 1}
+    assert all(p["num_input_rows"] >= 0 for p in prog)
     # per-bucket watermarks exist for every live bucket
     marks = pipe2.lineage.bucket_lsn_watermarks()
     assert marks and all(v <= mon["applied_lsn_watermark"] for v in marks.values())
