@@ -117,7 +117,7 @@ def main() -> None:
     queries = E.queries()
     timings: dict[str, float] = {}
     headline = [] if os.environ.get("BENCH_CDC_ONLY") else HEADLINE
-    passes = int(os.environ.get("BENCH_QUERY_PASSES", "2"))
+    passes = max(1, int(os.environ.get("BENCH_QUERY_PASSES", "2")))
     for name in headline:
         best = None
         for _ in range(passes):

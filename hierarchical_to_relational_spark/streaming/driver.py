@@ -30,44 +30,43 @@ from hierarchical_to_relational_spark.sources import binlog as binlog_source
 from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
 
 
-class ProgressLineageListener:
+def make_progress_listener(lineage: LineageStore, query_name: str):
     """StreamingQueryListener that records every micro-batch progress event
     into the table's lineage log (``type='progress'``): batch id, input
     rows, processing rate, per-phase durations. Together with the per-batch
     commit records this makes a live tail monitorable from the lineage
-    JSONL alone — no Spark UI needed. Filtered by query name so multiple
-    streams on one session don't cross-log."""
+    JSONL alone — no Spark UI needed. The filter name is UNIQUE per
+    run_stream invocation (uuid suffix), so listeners from earlier runs or
+    other tables on the same session can never cross-log."""
+    from pyspark.sql.streaming import StreamingQueryListener
 
-    def __new__(cls, lineage: LineageStore, query_name: str):
-        from pyspark.sql.streaming import StreamingQueryListener
+    class _ProgressListener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
 
-        class _L(StreamingQueryListener):
-            def onQueryStarted(self, event):
-                pass
+        def onQueryProgress(self, event):
+            p = event.progress
+            if p.name != query_name:
+                return
+            lineage.record(
+                {
+                    "type": "progress",
+                    "query_name": p.name,
+                    "stream_batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "processed_rows_per_second": p.processedRowsPerSecond,
+                    "duration_ms": dict(p.durationMs or {}),
+                    "event_ts": p.timestamp,
+                }
+            )
 
-            def onQueryProgress(self, event):
-                p = event.progress
-                if p.name != query_name:
-                    return
-                lineage.record(
-                    {
-                        "type": "progress",
-                        "query_name": p.name,
-                        "stream_batch_id": p.batchId,
-                        "num_input_rows": p.numInputRows,
-                        "processed_rows_per_second": p.processedRowsPerSecond,
-                        "duration_ms": dict(p.durationMs or {}),
-                        "event_ts": p.timestamp,
-                    }
-                )
+        def onQueryIdle(self, event):
+            pass
 
-            def onQueryIdle(self, event):
-                pass
+        def onQueryTerminated(self, event):
+            pass
 
-            def onQueryTerminated(self, event):
-                pass
-
-        return _L()
+    return _ProgressListener()
 
 
 class CdcPipeline:
@@ -168,12 +167,19 @@ class CdcPipeline:
             self.spark, self.binlog_dir, self.envelope_schema, max_files_per_trigger,
             fmt=self.source_format,
         )
-        query_name = f"h2r-cdc-{os.path.basename(self.checkpoint_dir.rstrip('/'))}"
+        import uuid
+
+        # unique per invocation: Spark rejects duplicate ACTIVE query names,
+        # and uniqueness also guarantees stale listeners never cross-log
+        query_name = f"h2r-cdc-{uuid.uuid4().hex[:12]}"
         if record_progress:
-            # register BEFORE start so the first micro-batch is captured
-            self.spark.streams.addListener(
-                ProgressLineageListener(self.lineage, query_name)
-            )
+            # drop this pipeline's previous listener (crash-resume loops
+            # would otherwise accumulate one per run), then register BEFORE
+            # start so the first micro-batch is captured
+            if getattr(self, "_progress_listener", None) is not None:
+                self.spark.streams.removeListener(self._progress_listener)
+            self._progress_listener = make_progress_listener(self.lineage, query_name)
+            self.spark.streams.addListener(self._progress_listener)
         writer = (
             stream.writeStream.foreachBatch(lambda df, bid: self.apply_batch(df, bid))
             .queryName(query_name)
@@ -190,6 +196,15 @@ class CdcPipeline:
             else:
                 query.awaitTermination()
         return query
+
+    def detach_progress_listener(self) -> None:
+        """Deregister this pipeline's progress listener (call once the
+        stream is done, before tearing the session down — a late async
+        event delivered after the Python gateway closes would otherwise
+        log a py4j error at JVM shutdown)."""
+        if getattr(self, "_progress_listener", None) is not None:
+            self.spark.streams.removeListener(self._progress_listener)
+            self._progress_listener = None
 
     # -- batch replay (bench path): same merge machinery, explicit batches --
     def replay_batch(self, paths_or_dir, batch_id: str | None = None) -> dict:

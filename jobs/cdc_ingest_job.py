@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--timeout-s", type=float, default=None,
                    help="with --processing-time: stop the live tail after this many "
                         "seconds (default: run until interrupted)")
+    p.add_argument("--record-progress", action="store_true",
+                   help="with --stream: log per-trigger streaming progress telemetry "
+                        "into the table's lineage (monitorable via maintenance 'status')")
     p.add_argument("--final-compact", action="store_true")
     args = p.parse_args(argv)
 
@@ -84,9 +87,11 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             processing_time=args.processing_time,
             timeout_s=args.timeout_s,
+            record_progress=args.record_progress,
         )
         if args.processing_time is not None:
             q.stop()
+        pipe.detach_progress_listener()
     else:
         metrics = pipe.replay_batch(args.binlog_dir, batch_id=args.batch_id)
         if not metrics["committed"]:
@@ -103,6 +108,10 @@ def main(argv: list[str] | None = None) -> int:
         "applied_lsn_watermark": pipe.lineage.applied_lsn_watermark(),
         "batches": len(pipe.lineage.entries()),
     }))
+    # explicit stop drains the async listener bus while the Python gateway
+    # is still alive (otherwise a late streaming event logs a py4j error
+    # during interpreter teardown)
+    spark.stop()
     return 0
 
 

@@ -15,9 +15,12 @@ Actions:
   status     print current version / bucket spec / delta depth+bytes /
              lineage monitoring summary
 
-Every mutating action is an idempotent commit keyed by --batch-id (default
-derives one from the action + arguments), so a re-run after a crash is a
-no-op — same exactly-once contract as ingest.
+Every mutating action is an idempotent commit keyed by --batch-id. The
+DERIVED default ids embed the current table version, so a re-run after a
+crash-before-commit retries cleanly, while a re-run after a successful
+commit performs a fresh (state-preserving, hence safe) maintenance pass.
+Pass an explicit --batch-id to make re-runs strict no-ops — the same
+exactly-once contract as ingest.
 """
 
 from __future__ import annotations
@@ -91,7 +94,12 @@ def main(argv: list[str] | None = None) -> int:
             out = {"committed": evolve_buckets(spark, table, args.n_buckets, batch_id=bid),
                    "batch_id": bid, "n_buckets": args.n_buckets}
         else:  # rollback
-            bid = args.batch_id or f"maintenance-rollback-{args.to_version}"
+            # embed the CURRENT version too: rolling back to the same target
+            # a second time (after new writes) must be a new commit, not a
+            # silent no-op against the permanent batch-id ledger
+            bid = args.batch_id or (
+                f"maintenance-rollback-{args.to_version}-v{table.current_version()}"
+            )
             out = {"committed": table.rollback(args.to_version, batch_id=bid),
                    "batch_id": bid, "to_version": args.to_version}
         out["table_version"] = table.current_version()

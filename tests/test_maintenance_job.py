@@ -56,6 +56,10 @@ def test_all_actions(spark, tmp_path, capsys, table):
     v_before = SnapshotTable(root).current_version()
     ro = _run(capsys, "--table", root, "rollback", "--to-version", str(v_before))
     assert ro["committed"] is True
+    # a SECOND rollback to the same target (table moved since) must be a
+    # fresh commit, not a silent no-op against the permanent id ledger
+    ro2 = _run(capsys, "--table", root, "rollback", "--to-version", str(v_before))
+    assert ro2["committed"] is True and ro2["batch_id"] != ro["batch_id"]
 
     ex = _run(capsys, "--table", root, "expire", "--retain-last", "2", "--orphan-grace-s", "0")
     assert ex["expired_snapshots"] > 0
