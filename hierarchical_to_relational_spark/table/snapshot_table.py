@@ -125,15 +125,18 @@ class SnapshotTable:
         os.makedirs(t._snap_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
         if t.current_version() is None:
-            t._write_snapshot(
-                {
-                    "version": 0,
-                    "batch_id": "__create__",
-                    "schema": schema.json(),
-                    "n_buckets": n_buckets,
-                    "live": {},
-                }
-            )
+            try:
+                t._write_snapshot(
+                    {
+                        "version": 0,
+                        "batch_id": "__create__",
+                        "schema": schema.json(),
+                        "n_buckets": n_buckets,
+                        "live": {},
+                    }
+                )
+            except CommitConflictError:
+                pass  # a concurrent creator won the v0 race — attach to it
         return t
 
     @staticmethod
