@@ -316,6 +316,26 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "err_id", "click_id")
 
 
+def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function round-trip (the map analogue of normalize_roundtrip's
+    array proof): per-user event_type counts packed into a MAP via
+    map_from_entries(sort_array(collect_list(struct))), then exploded back
+    to rows with the map's cardinality attached. Equal to the plain
+    groupBy — which is exactly what the SQL oracle computes."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    packed = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return packed.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.explode("m").alias("event_type", "n"),
+    ).select("user_id", "event_type", "n", "n_types")
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping-sets: order counts + decimal-exact totals over every
     combination of (order status, priority) including both marginals and
@@ -710,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_state": q_asof_state,
         "interval_join": q_interval_join,
         "cube_orders": q_cube_orders,
+        "map_roundtrip": q_map_roundtrip,
         "sketch_stats": q_sketch_stats,
         "join_region_revenue": q_join_region_revenue,
         "semi_anti_customers": q_semi_anti_customers,
@@ -803,6 +824,13 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type = 'view' GROUP BY user_id, ts)
             SELECT p.user_id, p.event_id, v.view_id AS view_id_asof
             FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "map_roundtrip": """
+            WITH c AS (SELECT user_id, event_type, count(*) n FROM events
+                       WHERE user_id < 100 GROUP BY user_id, event_type)
+            SELECT user_id, event_type, n,
+                   count(*) OVER (PARTITION BY user_id) AS n_types
+            FROM c
         """,
         "cube_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) n_orders,

@@ -146,3 +146,65 @@ def test_lww_latest_is_permutation_invariant(spark, events):
     a = {tuple(r) for r in lww_latest(df, ["conv", "turn"], ["lsn"]).collect()}
     b = {tuple(r) for r in lww_latest(df.orderBy(F.rand(7)), ["conv", "turn"], ["lsn"]).collect()}
     assert a == b
+
+
+# ---------- temporal joins vs pandas oracles ----------
+
+@given(
+    lrows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                   min_size=1, max_size=25, unique=True),
+    rrows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+                   min_size=0, max_size=25, unique_by=lambda t: (t[0], t[1])),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_pandas(spark, lrows, rrows):
+    """asof_join == pandas.merge_asof(direction='backward') on arbitrary
+    (key, ts) data with unique right (key, ts)."""
+    import pandas as pd
+    from hierarchical_to_relational_spark.operators.joins import asof_join
+
+    l = (pd.DataFrame(lrows, columns=["k", "ts"]).astype("int64")
+         .sort_values("ts").reset_index(drop=True))
+    r = (pd.DataFrame(rrows, columns=["k", "ts", "v"]).astype("int64")
+         .sort_values("ts").reset_index(drop=True))
+    want = pd.merge_asof(l, r, on="ts", by="k", direction="backward")
+
+    left = spark.createDataFrame(l.astype({"k": "int64", "ts": "int64"}))
+    right = (spark.createDataFrame(r.astype("int64")) if len(r)
+             else spark.createDataFrame([], "k long, ts long, v long"))
+    got = (asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+           .toPandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    want = want.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert list(got["v_asof"].fillna(-1).astype("int64")) == \
+        list(want["v"].fillna(-1).astype("int64"))
+
+
+@given(
+    pts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 400)),
+                 min_size=1, max_size=20, unique=True),
+    ivs=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 400), st.integers(0, 120)),
+                 min_size=0, max_size=10),
+    bucket=st.sampled_from([7, 60, 150]),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_join_matches_naive(spark, pts, ivs, bucket):
+    """Bucketized interval join == naive inequality join for arbitrary
+    points/intervals and bucket widths (incl. widths much smaller and much
+    larger than intervals)."""
+    from pyspark.sql import functions as F
+    from hierarchical_to_relational_spark.operators.joins import interval_join
+
+    p = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(pts)], "k long, ts long, pid long")
+    iv = spark.createDataFrame(
+        [(k, s, s + d, i) for i, (k, s, d) in enumerate(ivs)],
+        "k long, s long, e long, iid long") if ivs else spark.createDataFrame(
+        [], "k long, s long, e long, iid long")
+    got = {(r["pid"], r["iid"]) for r in
+           interval_join(p, iv, on=["k"], point_ts="ts", start_ts="s",
+                         end_ts="e", bucket_seconds=bucket).collect()}
+    want = {(r["pid"], r["iid"]) for r in
+            p.join(iv, "k").where((F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e"))).collect()}
+    assert got == want
