@@ -126,3 +126,28 @@ def test_watermarked_session_window_per_conversation(spark, tmp_path):
             env.groupBy(F.session_window("commit_ts", "30 seconds").alias("s"), "conv_id")
             .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want and len(got) >= SPEC.n_convs
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: in-stream dedup of replayed envelopes
+    by (lsn) with bounded state — the streaming-native complement to the
+    merge layer's order-insensitive LWW (which is the engine's primary
+    duplicate defence). Output count equals distinct-lsn count."""
+    d = str(tmp_path / "bl-dedup")
+    events = datagen.generate_events(SPEC)
+    stream_rows = datagen.arrival_order(events, SPEC)  # 5% duplicate events
+    datagen.write_binlog(stream_rows, d, n_segments=4)
+
+    stream = stream_binlog(spark, d, max_files_per_trigger=2)
+    deduped = (
+        stream.withWatermark("commit_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["lsn"])
+    )
+    q = (deduped.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.table("dedup_stream").count()
+    want = spark.read.parquet(d).select("lsn").distinct().count()
+    assert len(stream_rows) > want  # duplicates existed in the input
+    assert got == want
