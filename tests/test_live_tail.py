@@ -102,3 +102,48 @@ def test_live_tail_processing_time_trigger(spark, tmp_path):
     # per-bucket watermarks exist for every live bucket
     marks = pipe2.lineage.bucket_lsn_watermarks()
     assert marks and all(v <= mon["applied_lsn_watermark"] for v in marks.values())
+
+
+def test_schema_evolution_across_stream_restart(spark, tmp_path):
+    """The production schema-evolution path for a live tail: a file-source
+    stream's schema is FIXED per query, so an additively wider binlog means
+    stop → restart the stream with the evolved envelope schema (same
+    checkpoint). Old micro-batches stay committed (no replay), the table
+    widens on the first evolved batch, pre-evolution rows read NULL for
+    the new column."""
+    from pyspark.sql import functions as F, types as T
+    from hierarchical_to_relational_spark.sources.binlog import envelope_schema
+
+    binlog = str(tmp_path / "binlog")
+    spec_old = datagen.BinlogSpec(n_events=80, n_convs=8, seed=13, delete_rate=0.0)
+    old_events = datagen.generate_events(spec_old)
+    datagen.write_binlog(old_events, binlog, n_segments=2)
+
+    pipe = CdcPipeline(spark, binlog, str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=4, text_mode="none")
+    pipe.run_stream(max_files_per_trigger=1)  # availableNow drain
+    v_after_old = pipe.table.current_version()
+    assert "model" not in pipe.table.schema().fieldNames()
+
+    # evolved segments land (new producer version); restart with the wider
+    # envelope schema and the same checkpoint
+    spec_new = datagen.BinlogSpec(n_events=80, n_convs=8, seed=14,
+                                  delete_rate=0.0, evolve_after=0)
+    new_events = datagen.generate_events(spec_new)
+    new_events["lsn"] = new_events["lsn"] + 10_000
+    datagen.write_binlog(new_events, binlog, n_segments=2, evolved=True,
+                         start_segment=2)
+
+    evolved = envelope_schema([T.StructField("model", T.StringType(), True)])
+    pipe2 = CdcPipeline(spark, binlog, str(tmp_path / "t"), str(tmp_path / "ck"),
+                        n_buckets=4, text_mode="none", envelope_schema=evolved)
+    pipe2.run_stream(max_files_per_trigger=1)
+
+    assert "model" in pipe2.table.schema().fieldNames()
+    out = read_transcripts(spark, pipe2.table)
+    assert out.where(F.col("model").isNotNull()).count() > 0
+    assert out.where(F.col("model").isNull()).count() > 0  # pre-evolution rows
+    # old batches were NOT replayed: version advanced only by the new ones
+    assert pipe2.table.current_version() > v_after_old
+    n_old_convs = out.where(F.col("model").isNull()).select("conv_id").distinct().count()
+    assert n_old_convs > 0
