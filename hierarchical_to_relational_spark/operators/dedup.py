@@ -245,14 +245,32 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     block_col: Column | None = None,
     verify_all_pairs: bool = False,
+    lsh_block: bool = False,
 ) -> DataFrame:
     """Pairs (id1 < id2) with cosine ≥ threshold, all-pairs WITHIN a
-    blocking column. By default the block is the hyperplane-LSH sign bucket
-    (operators.similarity.hyperplane_bucket) — at corpus scale an unblocked
-    self-join is a cross join, so that footgun is opt-in: pass
-    ``verify_all_pairs=True`` for the exact O(n²) verification form, or a
-    custom ``block_col`` (e.g. a language/label column)."""
-    if block_col is None and not verify_all_pairs:
+    blocking column. The caller must choose the candidate strategy
+    explicitly — there is no silent default, because the two honest
+    options have opposite failure modes:
+
+    - ``verify_all_pairs=True``: the exact O(n²) verification form (a
+      cross join — correct, but only for candidate subsets, never a
+      corpus);
+    - ``lsh_block=True``: block by the hyperplane-LSH sign bucket
+      (operators.similarity.hyperplane_bucket) — linear-ish at corpus
+      scale but recall < 1 (pairs straddling a hyperplane are missed);
+    - ``block_col=<column>``: block by a caller-supplied key (language,
+      label, shard).
+
+    Passing none of the three raises rather than quietly picking a
+    semantics (an approximate result silently replacing an exact one — or
+    the reverse, a cross join at corpus scale — is the worse bug)."""
+    if block_col is None and not verify_all_pairs and not lsh_block:
+        raise ValueError(
+            "embedding_near_dup_pairs: choose a candidate strategy — "
+            "verify_all_pairs=True (exact O(n^2), subsets only), "
+            "lsh_block=True (approximate, corpus-scale), or block_col=..."
+        )
+    if block_col is None and lsh_block:
         from hierarchical_to_relational_spark.operators.similarity import hyperplane_bucket
 
         block_col = hyperplane_bucket(F.col(vec_col).cast("array<double>"))

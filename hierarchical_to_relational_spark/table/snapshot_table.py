@@ -72,7 +72,14 @@ class CommittedIds:
 
     __slots__ = ("ids", "numeric_floor")
 
-    _NUM = re.compile(r"^(\d+)(?:::.*)?$")
+    # Floor credit applies ONLY to pure numeric epoch ids and the engine's
+    # own derived suffixes (``N::compact``, ``N::evolve``). A caller-chosen
+    # id that merely LOOKS numeric-prefixed ("7::manual") gets no credit:
+    # the floor proves epoch 7 committed, not that every string starting
+    # with "7::" did — crediting it would silently no-op a batch that never
+    # ran. Such ids live in the explicit set forever, so callers picking
+    # their own batch ids should avoid unbounded numeric-prefixed families.
+    _NUM = re.compile(r"^(\d+)(?:::(?:compact|evolve))?$")
 
     def __init__(self, ids: set[str] | None = None, numeric_floor: int = -1):
         self.ids = ids if ids is not None else set()
@@ -608,6 +615,19 @@ class SnapshotTable:
         batch_id. Fails if the target snapshot was expired."""
         target = self.snapshot(version)  # raises if expired/unknown
         schema = T.StructType.fromJson(json.loads(target["schema"]))
+        # Freshen the mtime of every data dir the rollback re-references
+        # BEFORE committing: those dirs may be old enough to look like
+        # orphans to a concurrent expire_snapshots whose retained window no
+        # longer includes `version` — the bump puts them back inside the
+        # orphan grace window so the GC leaves them alone.
+        now = time.time()
+        for ds in target["live"].values():
+            for d in ds:
+                try:
+                    os.utime(os.path.join(self.root, d), (now, now))
+                except FileNotFoundError:
+                    pass  # already expired: the commit below still records it;
+                    # reads will surface the missing dir rather than hide it
         return self._commit(
             batch_id,
             schema,
@@ -637,11 +657,18 @@ class SnapshotTable:
            concurrent writer that has written data but not yet swapped its
            snapshot pointer (crash leftovers are collected on a later run).
 
-        Safe against concurrent COMMITS, and ledger writes use the same
-        versioned O_EXCL protocol as snapshots, so two racing expirations
-        cannot lose each other's ids (the loser re-merges and retries);
-        still prefer one maintenance writer — racing expirations do
-        redundant work."""
+        Safe against concurrent forward COMMITS (appends/overwrites only
+        reference their own freshly-written dirs, which the grace window
+        protects). ``rollback`` is the one commit that re-references OLD
+        dirs: it bumps their mtimes before committing (grace window
+        protection restored) and the orphan loop re-reads the CURRENT
+        snapshot before each delete — together these close the race for
+        any rollback-to-expire gap shorter than ``orphan_grace_seconds``;
+        do not run expiration with a zero grace window beside live
+        rollbacks. Ledger writes use the same versioned O_EXCL protocol as
+        snapshots, so two racing expirations cannot lose each other's ids
+        (the loser re-merges and retries); still prefer one maintenance
+        writer — racing expirations do redundant work."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
@@ -674,9 +701,20 @@ class SnapshotTable:
             now = time.time()
             for p in glob.glob(os.path.join(self._data_dir, "c-*")):
                 rel = os.path.join(DATA_DIR, os.path.basename(p))
-                if rel not in referenced and now - os.path.getmtime(p) >= orphan_grace_seconds:
-                    shutil.rmtree(p)
-                    removed_dirs += 1
+                if rel in referenced or now - os.path.getmtime(p) < orphan_grace_seconds:
+                    continue
+                # last-second recheck against the CURRENT snapshot: a
+                # rollback that committed after `versions` was listed may
+                # have just re-referenced this dir (its mtime bump may also
+                # have raced past the check above)
+                try:
+                    cur_live = self.snapshot()["live"]
+                except FileNotFoundError:
+                    cur_live = {}
+                if rel in {d for ds in cur_live.values() for d in ds}:
+                    continue
+                shutil.rmtree(p)
+                removed_dirs += 1
         return {
             "expired_snapshots": len(to_expire),
             "removed_data_dirs": removed_dirs,

@@ -50,8 +50,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --stream: run a LIVE tail with this trigger interval "
                         "(e.g. '2 seconds') instead of availableNow drain-and-stop")
     p.add_argument("--timeout-s", type=float, default=None,
-                   help="with --processing-time: stop the live tail after this many "
-                        "seconds (default: run until interrupted)")
+                   help="with --stream: stop the query after this many seconds if it "
+                        "has not terminated on its own (live tail: the normal way to "
+                        "end the run; availableNow: a safety bound on the drain)")
     p.add_argument("--record-progress", action="store_true",
                    help="with --stream: log per-trigger streaming progress telemetry "
                         "into the table's lineage (monitorable via maintenance 'status')")
@@ -89,7 +90,14 @@ def main(argv: list[str] | None = None) -> int:
             timeout_s=args.timeout_s,
             record_progress=args.record_progress,
         )
-        if args.processing_time is not None:
+        # stop unconditionally whenever the query may still be live:
+        # processing-time tails never self-terminate, and a timed-out
+        # availableNow drain can return from awaitTermination with
+        # micro-batches still in flight — compacting or printing the
+        # summary against an in-flight stream would misreport state.
+        # stop() blocks until the current batch finishes; on an
+        # already-terminated query it is a no-op.
+        if args.processing_time is not None or args.timeout_s is not None:
             q.stop()
         pipe.detach_progress_listener()
     else:

@@ -82,9 +82,20 @@ def _vectors(spark):
 
 
 def test_embedding_near_dup(spark):
-    out = dd.embedding_near_dup_pairs(_vectors(spark), "vec_id", "embedding", threshold=0.95)
+    out = dd.embedding_near_dup_pairs(_vectors(spark), "vec_id", "embedding",
+                                      threshold=0.95, lsh_block=True)
     got = {(r["id1"], r["id2"]) for r in out.collect()}
     assert got == {(1, 2)}
+
+
+def test_embedding_near_dup_requires_explicit_strategy(spark):
+    """No silent default: omitting verify_all_pairs / lsh_block / block_col
+    must raise — an approximate pair set quietly replacing an exact one
+    (or a cross join at corpus scale) is the bug class this blocks."""
+    import pytest
+
+    with pytest.raises(ValueError, match="candidate strategy"):
+        dd.embedding_near_dup_pairs(_vectors(spark), "vec_id", "embedding")
 
 
 def test_brute_force_topk(spark):
@@ -115,18 +126,20 @@ def test_zero_norm_vectors_never_near_dup(spark):
     assert out.collect() == []
 
 
-def test_embedding_near_dup_default_is_blocked(spark):
-    """The default path blocks on the hyperplane-LSH bucket: the physical
+def test_embedding_near_dup_lsh_block_is_equi_join(spark):
+    """The lsh_block path blocks on the hyperplane-LSH bucket: the physical
     plan must contain an equi-join, NOT a cartesian/nested-loop product —
-    at corpus scale the unblocked self-join is the footgun, so the exact
-    all-pairs form is opt-in (verify_all_pairs=True)."""
+    at corpus scale the unblocked self-join is the footgun, which is why
+    the strategy choice is mandatory and explicit."""
     v = _vectors(spark)
-    plan = dd.embedding_near_dup_pairs(v, "vec_id", "embedding")._jdf.queryExecution().executedPlan().toString()
+    plan = dd.embedding_near_dup_pairs(v, "vec_id", "embedding", lsh_block=True) \
+        ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
 
     all_pairs = dd.embedding_near_dup_pairs(v, "vec_id", "embedding",
                                             threshold=0.95, verify_all_pairs=True)
-    blocked = dd.embedding_near_dup_pairs(v, "vec_id", "embedding", threshold=0.95)
+    blocked = dd.embedding_near_dup_pairs(v, "vec_id", "embedding",
+                                          threshold=0.95, lsh_block=True)
     exact = {(r["id1"], r["id2"]) for r in all_pairs.collect()}
     approx = {(r["id1"], r["id2"]) for r in blocked.collect()}
     assert approx <= exact and (1, 2) in approx  # near-identical pair survives blocking

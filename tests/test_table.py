@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import glob
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F, types as T
@@ -411,6 +412,53 @@ def test_concurrent_expirations_merge_ledgers(tmp_path):
     for i in range(40):
         assert str(i) in ids, f"batch {i} lost by racing expirations"
     assert glob.glob(os.path.join(t.root, "_snapshots", "ledger-v*.json"))
+
+
+def test_rollback_protects_rereferenced_dirs_from_orphan_gc(spark, tmp_path):
+    """rollback() re-references OLD data dirs whose mtimes may lie outside
+    the orphan grace window; it must freshen them BEFORE committing so a
+    concurrent expire_snapshots (which may have listed versions before the
+    rollback landed) cannot rmtree the dirs the new head points at."""
+    import os
+
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    d1 = _bucketed(spark, t, [("a", 1)])
+    t.commit_overwrite_buckets(d1, _buckets(d1), "b1")
+    v1 = t.current_version()
+    dirs_v1 = {d for ds in t.snapshot(v1)["live"].values() for d in ds}
+    d2 = _bucketed(spark, t, [("a", 2)])
+    t.commit_overwrite_buckets(d2, _buckets(d2), "b2")
+
+    # age the v1 dirs far past any grace window
+    old = time.time() - 7200
+    for d in dirs_v1:
+        os.utime(os.path.join(t.root, d), (old, old))
+
+    assert t.rollback(v1, batch_id="rb") is True
+    for d in dirs_v1:  # mtimes freshened by the rollback itself
+        assert time.time() - os.path.getmtime(os.path.join(t.root, d)) < 60
+
+    # expire with a 1h grace window: the re-referenced dirs are inside the
+    # window again, so even a retain-window that drops v1 can't collect them
+    t.expire_snapshots(retain_last=1, orphan_grace_seconds=3600.0)
+    got = {tuple(r) for r in t.read(spark).select("k", "v").collect()}
+    assert got == {("a", 1)}  # table remains readable at the rollback state
+
+
+def test_floor_credit_restricted_to_known_suffixes():
+    """Floor coverage applies to pure-numeric ids and the engine-derived
+    ::compact/::evolve only: a caller-chosen '2::manual' that never
+    committed must NOT read as committed just because the floor passed 2
+    (it would silently no-op when the caller finally runs it)."""
+    from hierarchical_to_relational_spark.table.snapshot_table import CommittedIds
+
+    ids = CommittedIds()
+    for i in ("0", "1", "2", "3"):
+        ids.add(i)
+    ids.compact()
+    assert ids.numeric_floor == 3
+    assert "2" in ids and "2::compact" in ids and "3::evolve" in ids
+    assert "2::manual" not in ids and "3::anything-else" not in ids
 
 
 def test_floor_not_poisoned_by_derived_ids():
