@@ -127,6 +127,86 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def ivf_centroid_list(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 4,
+    seed: int = 0,
+    train_sample: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical k-means centroids as a driver-local list
+    ``[(cell, unit_vector), ...]`` (see ivf_centroids for the DataFrame
+    view).
+
+    **Training scans a sample, not the corpus.** Lloyd iterations run over
+    the ``train_sample`` (default ``100 × n_cells``) corpus vectors with
+    the smallest ``xxhash64(seed, id)`` — a replay-stable pseudo-random
+    sample (no RNG state, same result at any parallelism; per-partition
+    top-N + merge, so selecting it is one cheap corpus pass). At
+    10^10-vector scale the alternative — n_iters full-corpus
+    assignment+recompute shuffles before the index exists — would dominate
+    the build, while centroid quality from a ~100×n_cells sample is
+    statistically indistinguishable (standard k-means subsampling). The
+    ONE full-corpus pass is the inverted-file assignment the caller
+    (``ivf_topk``) performs with the finished centroids.
+
+    Init: the ``n_cells`` smallest-hash vectors — the head of the same
+    sample.
+
+    Lloyd itself runs DRIVER-LOCAL on the collected sample (numpy):
+    centroids are metadata, and the sample is metadata-scale
+    (train_sample × dim doubles — e.g. 4096 cells × 100 × 1024 dims ≈
+    3 GB worst case, tune ``train_sample`` down if that pinches). One
+    Spark action selects the sample; zero cluster actions per iteration —
+    the previous all-Spark Lloyd paid one assignment shuffle + one
+    (cell, dim) aggregation + one centroid collect per iteration, pure
+    driver-constant overhead at any scale since iteration input is the
+    bounded sample either way. (Spark ML's KMeans and FAISS train the
+    same way: sample → local Lloyd → broadcast centroids.)"""
+    import numpy as np
+
+    if train_sample is None:
+        train_sample = 100 * n_cells
+    if train_sample < n_cells:
+        raise ValueError(f"train_sample ({train_sample}) must be >= n_cells ({n_cells})")
+    sample = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            _unit(F.col(vec_col).cast("array<double>")).alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .withColumn("_h", F.xxhash64(F.lit(seed), F.col("_id")))
+        .orderBy("_h", "_id")  # _id tiebreak: stable under hash collisions
+        .limit(train_sample)
+        .select("v")
+        .collect()  # the ONE training-stage corpus pass (per-partition top-N + merge)
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)  # unit rows, hash-sorted
+    # (cell_id, vector) pairs; ids stay stable as empty/degenerate cells drop
+    cents: list[tuple[int, np.ndarray]] = [(i, X[i].copy()) for i in range(min(n_cells, len(X)))]
+    for _ in range(n_iters):
+        if not cents:
+            break
+        C = np.stack([c for _, c in cents])
+        # nearest cell by max dot (unit vectors ⇒ max cosine); np.argmax
+        # takes the FIRST max — the lowest cell id, matching assign_cell's
+        # struct-max (d, -cell) tiebreak
+        assign = np.argmax(X @ C.T, axis=1)
+        nxt: list[tuple[int, np.ndarray]] = []
+        for pos, (cell_id, _) in enumerate(cents):
+            members = X[assign == pos]
+            if len(members) == 0:
+                continue  # empty cell: k-means proceeds with fewer cells
+            m = members.mean(axis=0)
+            n = float(np.sqrt((m * m).sum()))
+            if n > 0:  # antipodal members can cancel to a zero-norm mean
+                nxt.append((cell_id, m / n))
+        cents = nxt
+    return [(cell_id, [float(x) for x in vec]) for cell_id, vec in cents]
+
+
 def ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -134,60 +214,57 @@ def ivf_centroids(
     n_cells: int = 16,
     n_iters: int = 4,
     seed: int = 0,
+    train_sample: int | None = None,
 ) -> DataFrame:
-    """Deterministic spherical k-means centroids ``(cell, cvec)``.
-
-    Init: the ``n_cells`` corpus vectors with the smallest
-    ``xxhash64(seed, id)`` — a replay-stable pseudo-random sample (no RNG
-    state, same result at any parallelism). Each Lloyd iteration is one
-    broadcast-join assignment plus one (cell, dim) hash aggregation —
-    centroid recomputation shuffles n_cells×dim partial means, never
-    vectors. All JVM column algebra; no Python on the hot path."""
-    spark = corpus.sparkSession
-    v = corpus.select(
-        F.col(id_col).alias("_id"),
-        _unit(F.col(vec_col).cast("array<double>")).alias("v"),
-    ).where(F.col("v").isNotNull()).persist()
-
-    def materialize(df: DataFrame) -> DataFrame:
-        # Centroids are n_cells×dim doubles — METADATA, not data: collect
-        # and rebuild as literals so each Lloyd iteration's plan starts
-        # fresh. Leaving them lazy nests the whole iteration chain and
-        # re-executes it at every downstream reference (plan blow-up).
-        # a cell of antipodal vectors can have a zero-norm mean (_unit ->
-        # NULL): drop it — k-means simply proceeds with fewer cells
-        rows = [(int(r["cell"]), [float(x) for x in r["cvec"]])
-                for r in df.collect() if r["cvec"] is not None]
-        return spark.createDataFrame(rows, "cell int, cvec array<double>")
-
-    w = Window.orderBy("_h")
-    cent = materialize(
-        v.withColumn("_h", F.xxhash64(F.lit(seed), F.col("_id")))
-        .orderBy("_h").limit(n_cells)
-        .withColumn("cell", F.row_number().over(w) - 1)
-        .select("cell", F.col("v").alias("cvec"))
+    """DataFrame view ``(cell, cvec)`` of ivf_centroid_list."""
+    return corpus.sparkSession.createDataFrame(
+        ivf_centroid_list(corpus, id_col, vec_col, n_cells, n_iters, seed, train_sample),
+        "cell int, cvec array<double>",
     )
-    for _ in range(n_iters):
-        assigned = _assign_cells(v, cent)
-        by_dim = assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-        means = by_dim.groupBy("cell", "pos").agg(F.avg("x").alias("x"))
-        cent = materialize(
-            means.groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("s"))
-            .select("cell", _unit(F.transform("s", lambda t: t["x"])).alias("cvec"))
-        )
-    v.unpersist(blocking=False)
-    return cent
 
 
 def _assign_cells(v: DataFrame, cent: DataFrame) -> DataFrame:
     """(id, v) × broadcast(centroids) → nearest cell per vector (max dot on
-    unit vectors == max cosine). max_by hash agg, no window."""
+    unit vectors == max cosine), pure JVM: map-side broadcast join + one
+    max_by hash agg (partial combine before the exchange). The contract
+    path — plan stays 100 % whole-stage-codegen-able, no Python.
+
+    (A literal-centroid argmax expression was tried and rejected: baking
+    n_cells × dim literals into the plan makes Catalyst compile time, not
+    execution, the bottleneck — interpreted higher-order funcs over a
+    multi-thousand-node tree.)"""
     j = v.crossJoin(F.broadcast(cent)).withColumn("_d", _dot(F.col("v"), F.col("cvec")))
     packed = j.groupBy("_id").agg(
         F.max_by(F.struct("cell", "v"), F.struct(F.col("_d"), (-F.col("cell")).alias("_t"))).alias("_r")
     )
     return packed.select("_id", F.col("_r.cell").alias("cell"), F.col("_r.v").alias("v"))
+
+
+def _assign_cells_arrow(v: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """MAP-ONLY cell assignment: vectorized Arrow batches × one numpy
+    dgemm per batch (argmax of X @ Cᵀ). Zero shuffle — at 10^10-corpus
+    scale this removes the full-corpus exchange `_assign_cells` pays for
+    its hash agg, at the cost of an ArrowEvalPython stage (vectorized, no
+    per-row Python). Tiebreak matches _assign_cells: np.argmax takes the
+    first max = lowest cell id (cents are in ascending cell order)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    ids = np.array([i for i, _ in cents], dtype=np.int32)
+
+    def _cell_of(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.array(vs.tolist(), dtype=np.float64)
+        return pd.Series(ids[np.argmax(X @ C.T, axis=1)])
+
+    # explicit annotations (not inline hints): this module's
+    # future-annotations mode stringifies hints, and the locally-imported
+    # pandas name would not resolve during pandas_udf type inference
+    _cell_of.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    cell_of = F.pandas_udf(_cell_of, "int")
+    return v.withColumn("cell", cell_of(F.col("v")))
 
 
 def ivf_topk(
@@ -200,19 +277,35 @@ def ivf_topk(
     n_probe: int = 4,
     n_iters: int = 4,
     seed: int = 0,
+    train_sample: int | None = None,
+    assign: str = "join",
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are indexed into ``n_cells``
-    k-means cells; each query scores only the ``n_probe`` nearest cells.
-    Candidate work drops ~n_probe/n_cells vs brute force with a measured
-    recall/cost knob (raise n_probe → recall→1, cost→brute force).
-    Cosine on unit vectors, ties broken by neighbor id (deterministic)."""
-    cent = ivf_centroids(corpus, id_col, vec_col, n_cells, n_iters, seed)
+    k-means cells (centroids trained on a deterministic sample — see
+    ivf_centroid_list); each query scores only the ``n_probe`` nearest
+    cells. Candidate work drops ~n_probe/n_cells vs brute force with a
+    measured recall/cost knob (raise n_probe → recall→1, cost→brute
+    force). Cosine on unit vectors, ties broken by neighbor id.
+
+    ``assign``: the corpus indexing strategy — ``"join"`` (default,
+    100 % JVM: broadcast join + max_by, one corpus exchange) or
+    ``"arrow"`` (map-only vectorized numpy argmax, ZERO corpus shuffle —
+    the 10^10-scale path; same result, tested equal)."""
+    cents = ivf_centroid_list(corpus, id_col, vec_col, n_cells, n_iters, seed, train_sample)
+    if not cents:  # empty/degenerate corpus: exact empty result, same schema
+        return brute_force_topk(queries, corpus, id_col, vec_col, k)
+    cent = corpus.sparkSession.createDataFrame(cents, "cell int, cvec array<double>")
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _unit(F.col(vec_col).cast("array<double>")).alias("cv"),
-    ).where(F.col("cv").isNotNull())
-    c_cells = _assign_cells(c.withColumnRenamed("neighbor_id", "_id").withColumnRenamed("cv", "v"), cent) \
-        .select(F.col("_id").alias("neighbor_id"), "cell", F.col("v").alias("cv"))
+        F.col(id_col).alias("_id"),
+        _unit(F.col(vec_col).cast("array<double>")).alias("v"),
+    ).where(F.col("v").isNotNull())
+    if assign == "join":
+        c_cells = _assign_cells(c, cent)
+    elif assign == "arrow":
+        c_cells = _assign_cells_arrow(c, cents)
+    else:
+        raise ValueError(f"unknown assign strategy {assign!r} (join | arrow)")
+    c_cells = c_cells.select(F.col("_id").alias("neighbor_id"), "cell", F.col("v").alias("cv"))
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -3,6 +3,7 @@ embedding cosine, brute-force and LSH ANN."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hierarchical_to_relational_spark.operators import dedup as dd
@@ -166,6 +167,41 @@ def test_ivf_recall_contract(spark):
 
     full = sim.ivf_topk(queries, emb, k=10, n_cells=16, n_probe=16)
     assert sim.recall_at_k(full, exact, k=10) == 1.0
+
+
+def test_ivf_training_scans_sample_not_corpus(spark):
+    """Centroid TRAINING must only ever read the deterministic
+    xxhash64-sample: poison every non-sample vector with huge values that
+    would blow any mean they participate in — the trained centroids must
+    be identical to training on the clean sample alone. (The one
+    full-corpus pass is the assignment in ivf_topk, not training.)"""
+    import math
+
+    n, dim, n_cells, samp_n = 400, 8, 4, 100
+    rows = [(i, [math.sin(i * 13.7 + d) for d in range(dim)]) for i in range(n)]
+    base = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    # the sample = the samp_n ids with the smallest xxhash64(seed=0, id)
+    sample_ids = {
+        r["vec_id"]
+        for r in base.select("vec_id", F.xxhash64(F.lit(0), F.col("vec_id")).alias("h"))
+        .orderBy("h").limit(samp_n).collect()
+    }
+    poisoned = base.withColumn(
+        "embedding",
+        F.when(F.col("vec_id").isin(sample_ids), F.col("embedding"))
+        .otherwise(F.array(*[F.lit(1e15)] * dim)),
+    )
+    clean_sample = base.where(F.col("vec_id").isin(sample_ids))
+
+    got = {r["cell"]: r["cvec"] for r in
+           sim.ivf_centroids(poisoned, n_cells=n_cells, train_sample=samp_n).collect()}
+    want = {r["cell"]: r["cvec"] for r in
+            sim.ivf_centroids(clean_sample, n_cells=n_cells, train_sample=samp_n).collect()}
+    assert got.keys() == want.keys()
+    for cell in want:
+        assert got[cell] == pytest.approx(want[cell], rel=1e-9), (
+            f"cell {cell}: poisoned non-sample vectors leaked into training"
+        )
 
 
 def test_lsh_multiprobe_raises_recall(spark):
