@@ -350,22 +350,37 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations per event_type: HLL++ approximate distinct users
-    (rsd 2%) and approximate value quantiles (p50/p95). Approximate by
-    design and engine-specific → rows-only driver check; the pytest
-    contract asserts relative error vs exact within the configured bounds
-    (tests/test_sketches.py). At 100 TB these replace exact
-    count-distinct/percentile shuffles with constant-size sketch state."""
+    (rsd 2%) and approximate value quantiles (p50/p95). The sketches are
+    engine-specific, so the driver checks what IS exact: n_events/n_users
+    are value-hashed cross-engine, and the sketch outputs are asserted
+    in-Spark against their error contracts — HLL within 3×rsd of the exact
+    distinct count, each approx quantile's exact rank within ±0.01 of its
+    target — with the booleans hash-checked against the oracle's TRUE.
+    (tests/test_sketches.py holds the tighter measured bounds.) At 100 TB
+    the sketches replace exact count-distinct/percentile shuffles with
+    constant-size state; the exact twins here exist to judge them."""
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_au"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("_vq"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    ranks = (
+        ev.join(F.broadcast(agg.select("event_type", "_vq")), "event_type")
+        .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_quantiles"),
-            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.when(F.col("value") <= F.col("_vq")[0], 1).otherwise(0))
+             / F.count(F.lit(1))).alias("_r50"),
+            (F.sum(F.when(F.col("value") <= F.col("_vq")[1], 1).otherwise(0))
+             / F.count(F.lit(1))).alias("_r95"),
         )
-        .select("event_type", "approx_users", "n_events",
-                F.col("value_quantiles")[0].alias("p50"),
-                F.col("value_quantiles")[1].alias("p95"))
+    )
+    return agg.join(ranks, "event_type").select(
+        "event_type", "n_events", "n_users",
+        (F.abs(F.col("_au") - F.col("n_users")) <= 0.06 * F.col("n_users")).alias("hll_ok"),
+        ((F.col("_r50") >= 0.49) & (F.col("_r50") <= 0.51)).alias("p50_ok"),
+        ((F.col("_r95") >= 0.94) & (F.col("_r95") <= 0.96)).alias("p95_ok"),
     )
 
 
@@ -645,34 +660,97 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production SimHash: xxhash64 token hashes + shift/mask nibbles —
-    same output shape as the md5 contract form, ~10x cheaper, not
-    SQL-oracle-portable → rows-only driver check."""
-    return dd.simhash_fingerprint(
-        _spread(_t(spark, sf_dir, "documents"), spark), "doc_id", "text", hash_fn="xxhash64"
+    same output shape as the md5 contract form, ~10x cheaper. The integer
+    hash is not SQL-portable, so the driver checks the exact invariants
+    instead: fingerprint shape (16 chars, all 0/1) and content-determinism
+    (identical texts MUST get identical fingerprints), value-hashed
+    against the oracle's constants. The md5 twin (simhash_docs) stays
+    fully value-checked; a pytest asserts the two variants' structural
+    equivalence."""
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
+    sh = dd.simhash_fingerprint(docs, "doc_id", "text", hash_fn="xxhash64")
+    joined = sh.join(docs.select("doc_id", "text"), "doc_id")
+    w = Window.partitionBy(F.md5("text"))
+    return joined.select(
+        "doc_id",
+        F.length("simhash").alias("sim_len"),
+        F.col("simhash").rlike("^[01]{16}$").alias("bits_ok"),
+        (F.col("simhash") == F.first("simhash").over(w)).alias("dup_consistent"),
     )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 (16 k-means cells, probe 4) — the ANN scale
-    path with a measured recall contract (tests/test_dedup_similarity.py
-    asserts recall@10 vs brute force). Approximate by design → rows-only
-    driver check (no SQL oracle); determinism comes from seeded centroids
-    and id tiebreaks."""
+    """IVF approximate top-10 (16 cells, probe 6/16; centroids trained on
+    a deterministic sample with driver-local Lloyd). The neighbor set is
+    approximate by design, so the driver value-checks what IS exact:
+    every query returns exactly k results, and the measured recall@10 vs
+    in-Spark brute force clears the 0.6 contract bound (deterministic —
+    seeded sample, id tiebreaks; measured 0.66/0.74/0.72 at
+    sf0.001/0.01/0.1). tests/test_dedup_similarity.py holds the full
+    recall contract including the probes→1.0 limit."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
-    return sim.ivf_topk(q, emb, k=10, n_cells=16, n_probe=4).select(
-        "query_id", "neighbor_id", "rank"
+    approx = sim.ivf_topk(q, emb, k=10, n_cells=16, n_probe=6).localCheckpoint()
+    exact = sim.brute_force_topk(q, emb, k=10).localCheckpoint()
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    tot = hits.agg(F.count(F.lit(1)).alias("_h")).crossJoin(
+        exact.agg(F.count(F.lit(1)).alias("_e"))
+    )
+    per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    return per_q.crossJoin(F.broadcast(tot)).select(
+        "query_id", "n_results", (F.col("_h") / F.col("_e") >= 0.6).alias("recall_ok")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-10 with Hamming-1 multi-probe (the candidate
+    generator at corpus scale). The candidate set is approximate by
+    design, so the driver value-checks the exact verify stage: every
+    returned pair's cosine equals an independently recomputed exact
+    cosine for that pair (the bucket-join → scoring path is sound), ranks
+    per query are contiguous from 1, and every query row is present.
+    tests/test_dedup_similarity.py holds the subset-of-brute and
+    multi-probe-raises-recall contracts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    res = sim.lsh_topk(q, emb, k=10, n_planes=4, probe_hamming=1).localCheckpoint()
+    vq = emb.select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").cast("array<double>").alias("_qv"))
+    vc = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").cast("array<double>").alias("_cv"))
+    checked = (
+        res.join(vq, "query_id").join(vc, "neighbor_id")
+        .select(
+            "query_id", "rank",
+            (F.col("cos") == F.round(dd.cosine(F.col("_qv"), F.col("_cv")), 6)).alias("_cos_ok"),
+        )
+    )
+    per_q = checked.groupBy("query_id").agg(
+        F.min("_cos_ok").alias("cos_exact_ok"),
+        ((F.min("rank") == 1) & (F.max("rank") == F.count(F.lit(1)))).alias("ranks_ok"),
+    )
+    qs = q.select(F.col("vec_id").alias("query_id"))
+    return qs.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce("cos_exact_ok", F.lit(True)).alias("cos_exact_ok"),
+        F.coalesce("ranks_ok", F.lit(True)).alias("ranks_ok"),
     )
 
 
 def q_text_profile_docs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production corpus profile: identical shape to text_profile_docs but
-    the fingerprint is the xxhash64 integer min (~10x cheaper than the md5
-    contract form). Not SQL-oracle-portable → rows-only driver check; the
-    md5 twin stays hash-checked."""
+    """Production corpus profile: identical computation to
+    text_profile_docs except the fingerprint is the xxhash64 integer min
+    (~10x cheaper than the md5 contract form). The six profile columns are
+    engine-independent and stay fully value-hashed against the SAME oracle
+    as the md5 twin; only the fingerprint value is non-portable, so it is
+    presence-checked (fp_ok) instead — the md5 twin keeps the fingerprint
+    value under hash check."""
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return tx.profile_documents(docs).select(
-        "doc_id", "n_tokens_ws", "n_tokens_bpe", "punct_ratio", "stopword_ratio", "lang_guess", "quality", "fingerprint"
+        "doc_id", "n_tokens_ws", "n_tokens_bpe", "punct_ratio", "stopword_ratio",
+        "lang_guess", "quality", F.col("fingerprint").isNotNull().alias("fp_ok"),
     )
 
 
@@ -750,11 +828,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "text_profile_docs": q_text_profile_docs,
         "text_profile_docs_fast": q_text_profile_docs_fast,
         "chunk_docs": q_chunk_docs,
         "multimodal_meta": q_multimodal_meta,
     }
+
+
+def _tp_oracle(fp_col: str) -> str:
+    """Shared DuckDB body for the two text-profile contract rows: the md5
+    contract twin selects the portable ``fingerprint``; the xxhash64
+    production twin selects ``TRUE AS fp_ok`` (the integer hash is not
+    SQL-portable, so only presence is driver-checked — the six profile
+    columns stay fully value-hashed on BOTH rows)."""
+    lang_pats = {lg: r"\b(" + "|".join(ws) + r")\b" for lg, ws in LANG_STOPWORDS.items()}
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END n_tokens_ws,
+            len(regexp_extract_all(text, '{bpe}')) n_tokens_bpe,
+            length(regexp_replace(text, '\\s', '', 'g')) nonspace,
+            length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) punct,
+            len(regexp_extract_all(lower(text), '{lang_pats["en"]}')) hits_en,
+            len(regexp_extract_all(lower(text), '{lang_pats["de"]}')) hits_de,
+            len(regexp_extract_all(lower(text), '{lang_pats["es"]}')) hits_es,
+            len(regexp_extract_all(lower(text), '{lang_pats["fr"]}')) hits_fr
+          FROM documents),
+        derived AS (
+          SELECT doc_id, text, n_tokens_ws, n_tokens_bpe,
+            CASE WHEN nonspace = 0 THEN 0.0 ELSE punct * 1.0 / nonspace END punct_ratio,
+            CASE WHEN n_tokens_ws = 0 THEN 0.0 ELSE hits_en * 1.0 / n_tokens_ws END stopword_ratio,
+            greatest(hits_de, hits_en, hits_es, hits_fr) best,
+            hits_de, hits_en, hits_es, hits_fr
+          FROM base),
+        langd AS (
+          SELECT *,
+            CASE WHEN best = 0 THEN 'und'
+                 WHEN hits_de = best THEN 'de'
+                 WHEN hits_en = best THEN 'en'
+                 WHEN hits_es = best THEN 'es'
+                 WHEN hits_fr = best THEN 'fr'
+                 ELSE 'und' END lang_guess,
+            least(n_tokens_ws / 100.0, 1.0) * 0.3 +
+            least(stopword_ratio * 2.5, 1.0) * 0.4 +
+            greatest(0.0, 1.0 - punct_ratio * 2.0) * 0.3 AS quality,
+            coalesce(
+              list_aggregate(list_transform(range(1, greatest(length(l.text) - 7, 0) + 1),
+                             i -> md5(substr(l.text, CAST(i AS INT), 8))), 'min'),
+              md5(l.text)) fingerprint
+          FROM derived l)
+        SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+               round(punct_ratio, 6) punct_ratio,
+               round(stopword_ratio, 6) stopword_ratio,
+               lang_guess, round(quality, 6) quality, {fp_col}
+        FROM langd
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1040,48 +1171,26 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
                 FROM scored) WHERE rank <= 10
         """,
-        "text_profile_docs": f"""
-            WITH base AS (
-              SELECT doc_id, text,
-                CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(string_split_regex(trim(text), '\\s+')) END n_tokens_ws,
-                len(regexp_extract_all(text, '{bpe}')) n_tokens_bpe,
-                length(regexp_replace(text, '\\s', '', 'g')) nonspace,
-                length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) punct,
-                len(regexp_extract_all(lower(text), '{lang_pats["en"]}')) hits_en,
-                len(regexp_extract_all(lower(text), '{lang_pats["de"]}')) hits_de,
-                len(regexp_extract_all(lower(text), '{lang_pats["es"]}')) hits_es,
-                len(regexp_extract_all(lower(text), '{lang_pats["fr"]}')) hits_fr
-              FROM documents),
-            derived AS (
-              SELECT doc_id, text, n_tokens_ws, n_tokens_bpe,
-                CASE WHEN nonspace = 0 THEN 0.0 ELSE punct * 1.0 / nonspace END punct_ratio,
-                CASE WHEN n_tokens_ws = 0 THEN 0.0 ELSE hits_en * 1.0 / n_tokens_ws END stopword_ratio,
-                greatest(hits_de, hits_en, hits_es, hits_fr) best,
-                hits_de, hits_en, hits_es, hits_fr
-              FROM base),
-            langd AS (
-              SELECT *,
-                CASE WHEN best = 0 THEN 'und'
-                     WHEN hits_de = best THEN 'de'
-                     WHEN hits_en = best THEN 'en'
-                     WHEN hits_es = best THEN 'es'
-                     WHEN hits_fr = best THEN 'fr'
-                     ELSE 'und' END lang_guess,
-                least(n_tokens_ws / 100.0, 1.0) * 0.3 +
-                least(stopword_ratio * 2.5, 1.0) * 0.4 +
-                greatest(0.0, 1.0 - punct_ratio * 2.0) * 0.3 AS quality,
-                coalesce(
-                  list_aggregate(list_transform(range(1, greatest(length(l.text) - 7, 0) + 1),
-                                 i -> md5(substr(l.text, CAST(i AS INT), 8))), 'min'),
-                  md5(l.text)) fingerprint
-              FROM derived l)
-            SELECT doc_id, n_tokens_ws, n_tokens_bpe,
-                   round(punct_ratio, 6) punct_ratio,
-                   round(stopword_ratio, 6) stopword_ratio,
-                   lang_guess, round(quality, 6) quality, fingerprint
-            FROM langd
+        "sketch_stats": """
+            SELECT event_type, count(*) n_events, count(DISTINCT user_id) n_users,
+                   TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+            FROM events GROUP BY event_type
         """,
+        "simhash_docs_fast": """
+            SELECT doc_id, CAST(16 AS INT) sim_len,
+                   TRUE AS bits_ok, TRUE AS dup_consistent
+            FROM documents
+        """,
+        "ann_ivf_topk": """
+            SELECT vec_id AS query_id, CAST(10 AS BIGINT) n_results, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 5
+        """,
+        "ann_lsh_topk": """
+            SELECT vec_id AS query_id, TRUE AS cos_exact_ok, TRUE AS ranks_ok
+            FROM embeddings WHERE vec_id < 5
+        """,
+        "text_profile_docs": _tp_oracle("fingerprint"),
+        "text_profile_docs_fast": _tp_oracle("TRUE AS fp_ok"),
         "chunk_docs": """
             SELECT doc_id, CAST(i AS INT) chunk_idx,
                    substr(text, CAST(i AS INT) * 150 + 1, 200) chunk

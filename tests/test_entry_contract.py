@@ -14,16 +14,12 @@ import __spark_entry__ as E
 SF = "/root/testdata/sf0.001"
 
 
-# Approximate-by-design or non-SQL-portable queries: the driver records a
-# rows-only check for these; everything else MUST be value-hash checked.
-ROWS_ONLY = {"ann_ivf_topk", "simhash_docs_fast", "text_profile_docs_fast", "sketch_stats"}
-
-
 def test_oracle_keys_subset_of_queries():
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
-    # full oracle coverage except the declared rows-only set
-    assert set(qs) - set(os_) == ROWS_ONLY
+    # every query is oracle-checked — approximate ops expose their exact
+    # invariants (counts, error-bound booleans) as the hashed columns
+    assert set(qs) == set(os_)
 
 
 @pytest.mark.parametrize("name", sorted(E.queries()))
