@@ -172,6 +172,49 @@ def write_binlog(
     return paths
 
 
+def write_binlog_csv(
+    stream: pd.DataFrame,
+    out_dir: str,
+    n_segments: int = 8,
+    evolved: bool = False,
+    start_segment: int = 0,
+) -> list[str]:
+    """Write the arrival stream as CSV WAL segments (flat envelope: one row
+    per (event, turn), delete events as one row with null turn fields) —
+    the export shape the reference's example pipelines ingest (File source
+    ``format: csv``). Segment boundaries follow the same event split as
+    ``write_binlog`` so a CSV replay sees the same batching. Timestamps are
+    microsecond ISO; quoting is RFC-4180 (matches
+    sources.binlog._CSV_OPTIONS)."""
+    os.makedirs(out_dir, exist_ok=True)
+    turn_keys = ["turn_idx", "role", "text", "tool", "ts"] + (["model"] if evolved else [])
+    cols = ["lsn", "commit_ts", "op", "conv_id"] + turn_keys
+    paths = []
+    bounds = np.linspace(0, len(stream), n_segments + 1, dtype=int)
+    for s in range(n_segments):
+        seg = stream.iloc[bounds[s] : bounds[s + 1]]
+        if seg.empty:
+            continue
+        rows = []
+        for r in seg.itertuples(index=False):
+            base = {"lsn": r.lsn, "commit_ts": r.commit_ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                    "op": r.op, "conv_id": r.conv_id}
+            if r.turns is None:
+                rows.append(base)
+            else:
+                for t in r.turns:
+                    row = {**base, **{k: t.get(k) for k in turn_keys}}
+                    if row.get("ts") is not None:
+                        row["ts"] = pd.Timestamp(row["ts"]).strftime("%Y-%m-%dT%H:%M:%S.%f")
+                    rows.append(row)
+        path = os.path.join(out_dir, f"segment-{start_segment + s:05d}.csv")
+        # nullable Int64: delete rows leave turn_idx NA, and a plain int
+        # column would float-ify ("3.0") and break IntegerType parsing
+        pd.DataFrame(rows, columns=cols).astype({"turn_idx": "Int64"}).to_csv(path, index=False)
+        paths.append(path)
+    return paths
+
+
 def generate_binlog_fast(spec: BinlogSpec, out_dir: str, n_segments: int = 32) -> tuple[list[str], int]:
     """Fully-vectorized binlog generation for bench-scale inputs (millions
     of events): numpy for all columns, pyarrow ListArray.from_arrays for

@@ -216,7 +216,9 @@ class CdcPipeline:
         paths = paths_or_dir if isinstance(paths_or_dir, list) else [paths_or_dir]
         if batch_id is None:
             batch_id = derive_replay_batch_id(paths)
-        env = self.spark.read.schema(self.envelope_schema).format(self.source_format).load(paths)
+        env = binlog_source.read_binlog(
+            self.spark, paths, self.envelope_schema, fmt=self.source_format
+        )
         return self.apply_batch(env, batch_id)
 
 

@@ -38,7 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--retain-snapshots", type=int, default=100)
     p.add_argument("--orphan-grace-s", type=float, default=3600.0)
     p.add_argument("--text-mode", choices=["builtin", "arrow", "none"], default="builtin")
-    p.add_argument("--source-format", choices=["parquet", "json"], default="parquet")
+    p.add_argument("--source-format", choices=["parquet", "json", "csv"], default="parquet")
     p.add_argument("--max-files-per-trigger", type=int, default=16)
     p.add_argument("--stream", action="store_true",
                    help="tail via Structured Streaming (availableNow, resumable); "

@@ -289,3 +289,51 @@ def test_size_based_compaction_trigger(spark, tmp_path):
     pipe2.apply_batch(spark.createDataFrame(rows[:60], pipe2.envelope_schema), 0)
     m = pipe2.apply_batch(spark.createDataFrame(rows[60:], pipe2.envelope_schema), 1)
     assert "compacted" not in m and pipe2.table.delta_depth() == 2
+
+
+def test_csv_binlog_replays_to_same_state(spark, tmp_path, binlog):
+    """A flat CSV export of the SAME arrival stream (one row per turn,
+    null-turn delete rows — the reference's example-pipeline File-source
+    shape) replays through the pipeline to the identical final state as
+    the nested parquet WAL, both in batch and as a checkpointed stream."""
+    events, spec = binlog["events"], SPEC
+    stream = datagen.arrival_order(events, spec)
+    d = str(tmp_path / "csvlog")
+    paths = datagen.write_binlog_csv(stream, d, n_segments=6)
+    assert len(paths) == 6 and all(p.endswith(".csv") for p in paths)
+
+    # batch replay
+    pipe = CdcPipeline(spark, d, str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=8, text_mode="none", source_format="csv")
+    pipe.replay_batch(d, "all")
+    _assert_matches_oracle(spark, pipe, events)
+
+    # streaming replay (availableNow over the csv segments)
+    pipe2 = CdcPipeline(spark, d, str(tmp_path / "t2"), str(tmp_path / "ck2"),
+                        n_buckets=8, text_mode="none", source_format="csv")
+    pipe2.run_stream(max_files_per_trigger=2)
+    pd.testing.assert_frame_equal(_final_state(spark, pipe.table),
+                                  _final_state(spark, pipe2.table))
+
+
+def test_csv_binlog_evolved_schema(spark, tmp_path):
+    """CSV segments carrying an additively-evolved turn column (model)
+    replay correctly when the evolved envelope schema is supplied."""
+    spec = datagen.BinlogSpec(n_events=120, n_convs=8, seed=11, evolve_after=0)
+    events = datagen.generate_events(spec)
+    d = str(tmp_path / "csvlog")
+    datagen.write_binlog_csv(datagen.arrival_order(events, spec), d,
+                             n_segments=2, evolved=True)
+    evolved = envelope_schema([T.StructField("model", T.StringType(), True)])
+    pipe = CdcPipeline(spark, d, str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=4, text_mode="none", source_format="csv",
+                       envelope_schema=evolved)
+    pipe.replay_batch(d, "all")
+    got = _final_state(spark, pipe.table)
+    assert "model" in got.columns and got["model"].notna().any()
+    want = datagen.expected_state(events)
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype({"turn_idx": "int64"}),
+        want.astype({"turn_idx": "int64"}),
+        check_dtype=False,
+    )
