@@ -203,6 +203,7 @@ def _overwrite_resolved(
     batch_id: str,
     resolve_fn,
     retries: int = 5,
+    cluster_by: str | None = None,
 ) -> bool:
     """Copy-on-write commit loop with concurrent-writer validation: read the
     listed buckets AT a pinned version, resolve via ``resolve_fn(current)``,
@@ -216,7 +217,8 @@ def _overwrite_resolved(
         resolved = resolve_fn(current)
         try:
             return table.commit_overwrite_buckets(
-                resolved, buckets, batch_id=batch_id, base_version=base_v
+                resolved, buckets, batch_id=batch_id, base_version=base_v,
+                cluster_by=cluster_by,
             )
         except ConcurrentOverwriteError:
             continue
@@ -252,7 +254,12 @@ def compact(
             )
         return resolved
 
-    return _overwrite_resolved(spark, table, schema, live_buckets, batch_id, resolve_fn)
+    # range-cluster the rewrite by conv_id: tight per-file key min-max →
+    # point lookups prune to ~one file per bucket in the compacted base
+    return _overwrite_resolved(
+        spark, table, schema, live_buckets, batch_id, resolve_fn,
+        cluster_by="conv_id",
+    )
 
 
 def evolve_buckets(
@@ -276,12 +283,38 @@ def evolve_buckets(
             META_BUCKET, F.pmod(F.xxhash64(F.col("conv_id")), F.lit(new_n_buckets)).cast("int")
         )
         try:
-            return table.commit_rebucket(rebucketed, new_n_buckets, batch_id, base_version=base_v)
+            return table.commit_rebucket(
+                rebucketed, new_n_buckets, batch_id,
+                base_version=base_v, cluster_by="conv_id",
+            )
         except ConcurrentOverwriteError:
             continue
     raise ConcurrentOverwriteError(
         f"gave up re-bucketing for {batch_id!r} after {retries} re-reads"
     )
+
+
+def lookup_conversation(
+    spark: SparkSession,
+    table: SnapshotTable,
+    conv_id: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup: the live turns of ONE conversation, touching the
+    minimum of the table — bucket pruning (hash of the key) composed with
+    file-level min-max pruning (per-commit sidecar stats), then LWW
+    resolution over only the surviving files and an exact row filter on
+    top (file pruning is superset semantics). At 100 TB this reads ~one
+    file from the range-clustered base plus only the delta files whose
+    batches contained the key, instead of every file in the bucket."""
+    schema = table.schema(version)
+    bucket = spark.range(1).select(table.bucket_col()(F.lit(conv_id))).first()[0]
+    scan = table.read(
+        spark, buckets=[bucket], version=version, key_range=(conv_id, conv_id)
+    ).where(F.col("conv_id") == conv_id)
+    df = resolve(scan, schema)
+    user_cols = [n for n in schema.fieldNames() if not n.startswith("_")]
+    return df.where(F.col(META_OP) == "u").select(*user_cols)
 
 
 def read_transcripts(

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 SNAPSHOT_DIR = "_snapshots"
 DATA_DIR = "data"
+FILE_STATS_NAME = "_file_stats.json"  # per-commit-dir file min-max sidecar
 
 
 class CommitConflictError(RuntimeError):
@@ -123,6 +124,8 @@ class SnapshotTable:
         self._ids_scanned_to: int = -1
         self._ids_cache = CommittedIds()
         self._ledger_stamp: tuple | None = None
+        # per-commit-dir min-max sidecar memo (dirs are immutable)
+        self._file_stats_cache: dict[str, dict | None] = {}
 
     # ---------- snapshot log ----------
 
@@ -294,14 +297,33 @@ class SnapshotTable:
 
     # ---------- read ----------
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        key_range: tuple | None = None,
+        lsn_range: tuple | None = None,
+    ) -> DataFrame:
         """Scan the live table state (or a historical version), optionally
         pruned to a bucket subset. Old files are projected up to the current
         schema (additive evolution → missing columns read as null).
 
         A bucket may map to several commit dirs (merge-on-read appends);
         the scan unions them all — LWW resolution happens in the caller
-        (operators.merge.resolve) where required."""
+        (operators.merge.resolve) where required.
+
+        ``key_range=(lo, hi)`` / ``lsn_range=(lo, hi)`` (inclusive; either
+        end None = open) additionally skip FILES whose recorded conv_id /
+        _lsn min-max cannot intersect the range — manifest-level pruning
+        from the per-commit sidecar, no footer reads, no Spark job. This is
+        a SUPERSET read: surviving files may still hold out-of-range rows,
+        so callers apply the row filter on top (point lookups should use
+        ``operators.merge.lookup_conversation``). Files without exact stats
+        (pre-sidecar commits, truncated string stats) are never pruned. At
+        scale this is what makes a point lookup touch one file per compacted
+        base dir (range-clustered) plus only the delta files whose batches
+        actually contained the key — not every file in the bucket."""
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         live: dict[str, list[str]] = snap["live"]
@@ -316,7 +338,11 @@ class SnapshotTable:
         parts: list[DataFrame] = []
         for commit_dir, bks in sorted(by_commit.items()):
             base = os.path.join(self.root, commit_dir)
-            paths = [os.path.join(base, f"_bucket={b}") for b in sorted(bks, key=int)]
+            paths = self._pruned_paths(commit_dir, set(bks), key_range, lsn_range)
+            if paths is None:
+                paths = [os.path.join(base, f"_bucket={b}") for b in sorted(bks, key=int)]
+            if not paths:
+                continue  # every file in this commit dir pruned
             df = spark.read.option("basePath", base).parquet(*paths)
             for fld in schema.fields:  # null-fill columns added after this commit
                 if fld.name not in df.columns:
@@ -330,14 +356,76 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
+    def _file_stats(self, commit_dir: str) -> dict | None:
+        """Load (and memoize) a commit dir's per-file min-max sidecar.
+        Commit dirs are immutable once written, so the cache never goes
+        stale; None for dirs committed before sidecars existed."""
+        if commit_dir in self._file_stats_cache:
+            return self._file_stats_cache[commit_dir]
+        path = os.path.join(self.root, commit_dir, FILE_STATS_NAME)
+        stats = None
+        try:
+            with open(path) as f:
+                stats = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        self._file_stats_cache[commit_dir] = stats
+        return stats
+
+    def _pruned_paths(
+        self,
+        commit_dir: str,
+        wanted_buckets: set[str],
+        key_range: tuple | None,
+        lsn_range: tuple | None,
+    ) -> list[str] | None:
+        """File list for a commit dir after min-max pruning, or None when
+        pruning doesn't apply (no predicate / no sidecar) — caller then
+        scans whole bucket dirs."""
+        if key_range is None and lsn_range is None:
+            return None
+        stats = self._file_stats(commit_dir)
+        if stats is None:
+            return None
+
+        def overlaps(mm: list | None, rng: tuple | None) -> bool:
+            if rng is None or mm is None:
+                return True  # no predicate, or no exact stats → keep
+            lo, hi = rng
+            return (lo is None or mm[1] >= lo) and (hi is None or mm[0] <= hi)
+
+        keep = []
+        for rel, st in sorted(stats.items()):
+            bucket = os.path.dirname(rel).split("=", 1)[1]
+            if bucket not in wanted_buckets:
+                continue
+            if overlaps(st.get("conv_id"), key_range) and overlaps(st.get("_lsn"), lsn_range):
+                keep.append(os.path.join(self.root, commit_dir, rel))
+        return keep
+
     # ---------- write ----------
 
-    def _write_commit_data(self, df: DataFrame, schema: T.StructType, repartition: bool) -> tuple[str, set[str]]:
+    def _write_commit_data(
+        self,
+        df: DataFrame,
+        schema: T.StructType,
+        repartition: bool,
+        cluster_by: str | None = None,
+    ) -> tuple[str, set[str]]:
         commit_rel = os.path.join(DATA_DIR, f"c-{uuid.uuid4().hex}")
         commit_abs = os.path.join(self.root, commit_rel)
         ordered = ["_bucket"] + [n for n in schema.fieldNames()]
         out = df.select(*ordered)
-        if repartition:
+        if cluster_by is not None:
+            # range-cluster (background rewrites: compact / rebucket): each
+            # shuffle partition covers a contiguous (_bucket, key) range, so
+            # every written file gets a TIGHT key min-max in its footer —
+            # that's what makes file-level pruning effective on the base
+            # (salted hash writes give each file a near-full key range).
+            # A zipf-hot key can fatten one range partition, but this is
+            # the amortized background path, not the per-batch hot path.
+            out = out.repartitionByRange(F.col("_bucket"), F.col(cluster_by))
+        elif repartition:
             # one shuffle so each bucket dir gets few files (not tasks×buckets).
             # Salted within the bucket: a zipf-hot conversation can own >15%
             # of a batch, and repartition on _bucket alone would write that
@@ -353,25 +441,58 @@ class SnapshotTable:
             written[b] = sum(
                 os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
             )
-        self.last_commit_stats = self._footer_stats(commit_abs)
+        self.last_commit_stats, file_stats = self._footer_stats(commit_abs)
+        # per-file min-max sidecar (Iceberg manifest-entry stats analog):
+        # read-side file pruning reads this tiny JSON instead of footers.
+        # Lives inside the commit dir ("_"-prefixed → invisible to Spark
+        # scans) so snapshot expiration GCs it with the data.
+        with open(os.path.join(commit_abs, FILE_STATS_NAME), "w") as f:
+            json.dump(file_stats, f)
         return commit_rel, written
 
     @staticmethod
-    def _footer_stats(commit_abs: str, lsn_col: str = "_lsn", tombstone_null_col: str = "turn_idx") -> dict:
-        """Commit metrics from parquet footers — no Spark job: row count,
-        max applied LSN (column max stats, global AND per bucket — the
-        north rule's per-partition applied-LSN watermark), tombstone count
-        (null-count of the key column, which is null exactly on tombstone
-        rows)."""
+    def _footer_stats(
+        commit_abs: str,
+        lsn_col: str = "_lsn",
+        tombstone_null_col: str = "turn_idx",
+        key_col: str = "conv_id",
+    ) -> tuple[dict, dict]:
+        """Commit metrics + per-file pruning stats from parquet footers — no
+        Spark job. Returns ``(metrics, file_stats)``:
+
+        metrics — row count, max applied LSN (column max stats, global AND
+        per bucket — the north rule's per-partition applied-LSN watermark),
+        tombstone count (null-count of the key column, which is null exactly
+        on tombstone rows).
+
+        file_stats — {relative file path: {key_col: [min,max] | None,
+        lsn_col: [min,max] | None}} for read-side file skipping. A bound is
+        recorded only when parquet marks it EXACT (long strings get
+        truncated stats whose max may undershoot the true max — pruning on
+        an inexact bound could silently drop rows); inexact/absent → null →
+        the file is never pruned."""
         import pyarrow.parquet as papq
 
         rows, max_lsn, nulls = 0, None, 0
         bucket_max_lsn: dict[str, int] = {}
+        file_stats: dict[str, dict] = {}
+
+        def _exact_min_max(st) -> list | None:
+            if st is None or not st.has_min_max:
+                return None
+            if not (getattr(st, "is_min_value_exact", True) and
+                    getattr(st, "is_max_value_exact", True)):
+                return None
+            return [st.min, st.max]
+
         for f in glob.glob(os.path.join(commit_abs, "_bucket=*", "*.parquet")):
             bucket = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
             md = papq.ParquetFile(f).metadata
             rows += md.num_rows
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            key_mm: list | None = None
+            lsn_mm: list | None = None
+            complete = True  # every row group must contribute exact bounds
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 if lsn_col in names:
@@ -380,17 +501,34 @@ class SnapshotTable:
                         max_lsn = st.max if max_lsn is None else max(max_lsn, st.max)
                         prev = bucket_max_lsn.get(bucket)
                         bucket_max_lsn[bucket] = st.max if prev is None else max(prev, st.max)
+                    mm = _exact_min_max(st)
+                    if mm is None:
+                        complete = False
+                    else:
+                        lsn_mm = mm if lsn_mm is None else [min(lsn_mm[0], mm[0]), max(lsn_mm[1], mm[1])]
                 if tombstone_null_col in names:
                     st = g.column(names[tombstone_null_col]).statistics
                     if st is not None and st.null_count is not None:
                         nulls += st.null_count
-        return {
+                if key_col in names:
+                    mm = _exact_min_max(g.column(names[key_col]).statistics)
+                    if mm is None:
+                        complete = False
+                    else:
+                        key_mm = mm if key_mm is None else [min(key_mm[0], mm[0]), max(key_mm[1], mm[1])]
+            rel = os.path.relpath(f, commit_abs)
+            file_stats[rel] = {
+                key_col: key_mm if complete else None,
+                lsn_col: lsn_mm if complete else None,
+            }
+        metrics = {
             "rows_written": rows,
             "max_lsn": max_lsn,
             "deletes": nulls,
             "upserts": rows - nulls,
             "bucket_max_lsn": bucket_max_lsn,
         }
+        return metrics, file_stats
 
     def _commit(
         self,
@@ -454,6 +592,7 @@ class SnapshotTable:
         batch_id: str,
         new_schema: T.StructType | None = None,
         base_version: int | None = None,
+        cluster_by: str | None = None,
     ) -> bool:
         """Copy-on-write commit: replace the listed buckets' contents with
         ``df`` (which must carry a ``_bucket`` column and only rows in those
@@ -480,7 +619,9 @@ class SnapshotTable:
             base_version = self.current_version()
         base_live: dict[str, list[str]] = self.snapshot(base_version)["live"]
         schema = self._resolve_schema(new_schema)
-        commit_rel, written = self._write_commit_data(df, schema, repartition=True)
+        commit_rel, written = self._write_commit_data(
+            df, schema, repartition=True, cluster_by=cluster_by
+        )
 
         def update(live: dict) -> dict:
             for b in buckets:
@@ -533,6 +674,7 @@ class SnapshotTable:
         new_n_buckets: int,
         batch_id: str,
         base_version: int | None = None,
+        cluster_by: str | None = None,
     ) -> bool:
         """Bucket-spec evolution: replace the ENTIRE table with ``df``
         (already re-bucketed under ``new_n_buckets``) and flip the bucket
@@ -548,7 +690,9 @@ class SnapshotTable:
             base_version = self.current_version()
         base_live = self.snapshot(base_version)["live"]
         schema = self.schema()
-        commit_rel, written = self._write_commit_data(df, schema, repartition=True)
+        commit_rel, written = self._write_commit_data(
+            df, schema, repartition=True, cluster_by=cluster_by
+        )
 
         def update(live: dict) -> dict:
             if live != base_live:

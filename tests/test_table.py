@@ -475,3 +475,112 @@ def test_floor_not_poisoned_by_derived_ids():
     assert "3" not in ids              # epoch 3 still applies when it arrives
     assert "3::manual" in ids          # the derived id itself stays committed
     assert "1::compact" in ids         # derived ids under the floor are covered
+
+
+def _envs(spark, rows):
+    """rows: (lsn, op, conv_id, [(turn_idx, text), ...] | None) → envelope DF."""
+    import pandas as pd
+    from hierarchical_to_relational_spark.sources.binlog import envelope_schema
+
+    ts = pd.Timestamp("2026-01-01").to_pydatetime()
+    data = [
+        (
+            lsn, ts, op, cid,
+            None if turns is None else {"turns": [
+                {"turn_idx": i, "role": "user", "text": t, "tool": None, "ts": ts}
+                for (i, t) in turns
+            ]},
+        )
+        for (lsn, op, cid, turns) in rows
+    ]
+    return spark.createDataFrame(data, envelope_schema())
+
+
+def test_file_level_minmax_pruning(spark, tmp_path):
+    """A point lookup scans FEWER files than the bucket holds: per-file
+    conv_id min-max from the commit sidecars prunes (a) delta files from
+    batches that never touched the key and (b) range-clustered base files
+    outside the key's range — and the pruned read returns the same rows."""
+    from hierarchical_to_relational_spark.operators.merge import (
+        compact, lookup_conversation, read_transcripts,
+    )
+    from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=1, text_mode="none",
+                       compact_every=10_000)
+    # three disjoint conv ranges, one batch each
+    pipe.apply_batch(_envs(spark, [
+        (i + 1, "insert", f"cAAA{i}", [(0, f"a{i}"), (1, f"a{i}b")]) for i in range(4)
+    ]), "b-a")
+    pipe.apply_batch(_envs(spark, [
+        (i + 11, "insert", f"cMMM{i}", [(0, f"m{i}")]) for i in range(4)
+    ]), "b-m")
+    compact(spark, pipe.table, batch_id="manual-compact")
+    # post-compact delta that never mentions cAAA*
+    pipe.apply_batch(_envs(spark, [
+        (i + 21, "insert", f"cZZZ{i}", [(0, f"z{i}")]) for i in range(4)
+    ]), "b-z")
+
+    t = pipe.table
+    full_files = set(t.read(spark).inputFiles())
+    pruned = t.read(spark, key_range=("cAAA2", "cAAA2"))
+    pruned_files = set(pruned.inputFiles())
+    assert pruned_files < full_files, "pruning must drop files"
+    rows_pruned = {
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in pruned.where(F.col("conv_id") == "cAAA2").collect()
+    }
+    rows_full = {
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in t.read(spark).where(F.col("conv_id") == "cAAA2").collect()
+    }
+    assert rows_pruned == rows_full and rows_pruned
+
+    # the user-facing point lookup: same result as the full read, filtered
+    via_lookup = {
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in lookup_conversation(spark, t, "cAAA2").collect()
+    }
+    via_full = {
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in read_transcripts(spark, t)
+        .where(F.col("conv_id") == "cAAA2").collect()
+    }
+    assert via_lookup == via_full and via_lookup
+
+
+def test_lsn_range_pruning_skips_old_deltas(spark, tmp_path):
+    """Incremental 'changes since LSN' reads skip delta files whose max
+    _lsn is below the watermark."""
+    from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=1, text_mode="none",
+                       compact_every=10_000)
+    pipe.apply_batch(_envs(spark, [(i + 1, "insert", f"c{i}", [(0, "x")]) for i in range(3)]), "b0")
+    pipe.apply_batch(_envs(spark, [(i + 100, "insert", f"d{i}", [(0, "y")]) for i in range(3)]), "b1")
+    t = pipe.table
+    full = set(t.read(spark).inputFiles())
+    recent = t.read(spark, lsn_range=(100, None))
+    assert set(recent.inputFiles()) < full
+    assert {r["conv_id"] for r in recent.where(F.col("_lsn") >= 100).collect()} == {"d0", "d1", "d2"}
+
+
+def test_pruning_superset_without_sidecar(spark, tmp_path):
+    """Commit dirs without a sidecar (pre-feature tables) are never pruned:
+    key_range reads fall back to full bucket scans."""
+    import os as _os
+    from hierarchical_to_relational_spark.table.snapshot_table import FILE_STATS_NAME
+    from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=1, text_mode="none")
+    pipe.apply_batch(_envs(spark, [(1, "insert", "cA", [(0, "x")]),
+                                   (2, "insert", "cB", [(0, "y")])]), "b0")
+    t = pipe.table
+    for d in t.snapshot()["live"]["0"]:
+        _os.unlink(_os.path.join(t.root, d, FILE_STATS_NAME))
+    t._file_stats_cache.clear()
+    pruned = t.read(spark, key_range=("cA", "cA"))
+    assert set(pruned.inputFiles()) == set(t.read(spark).inputFiles())
