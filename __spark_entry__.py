@@ -150,6 +150,29 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-column updates (merge-patch): per user, each column takes
+    its value from the newest event that SET it — full rows (purchase)
+    set every column, patch rows set only their non-null columns ('view'
+    arrives without value, 'error' without props). One map-side-combining
+    hash agg of filtered max_by — the same per-column LWW fold the table
+    layer uses (operators.merge.collapse_patches)."""
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id", "event_id",
+        (F.col("event_type") == "purchase").alias("_full"),
+        F.when(F.col("event_type") == "view", F.lit(None).cast("double"))
+         .otherwise(F.col("value")).alias("value"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+         .otherwise(F.col("props")).alias("props"),
+    )
+    return src.groupBy("user_id").agg(
+        F.expr("max_by(value, event_id) FILTER (WHERE _full OR value IS NOT NULL)").alias("last_value"),
+        F.expr("max_by(props, event_id) FILTER (WHERE _full OR props IS NOT NULL)").alias("last_props"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
 def q_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tombstone semantics relationally: 'error' events delete the whole
     user stream at their LSN; latest upsert per (user, type) survives only
@@ -798,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_startwith": q_flatten_startwith,
         "lww_latest": q_lww_latest,
         "merge_upsert": q_merge_upsert,
+        "merge_patch": q_merge_patch,
         "cdc_deletes": q_cdc_deletes,
         "normalize_roundtrip": q_normalize_roundtrip,
         "cdc_replay": q_cdc_replay,
@@ -918,6 +942,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (PARTITION BY user_id
                                              ORDER BY ts DESC, event_id DESC) rn
                 FROM events) WHERE rn = 1
+        """,
+        "merge_patch": """
+            WITH src AS (
+                SELECT user_id, event_id,
+                       event_type = 'purchase' AS _full,
+                       CASE WHEN event_type = 'view' THEN NULL ELSE value END AS value,
+                       CASE WHEN event_type = 'error' THEN NULL ELSE props END AS props
+                FROM events)
+            SELECT user_id,
+                   arg_max(value, event_id) FILTER (WHERE _full OR value IS NOT NULL) AS last_value,
+                   arg_max(props, event_id) FILTER (WHERE _full OR props IS NOT NULL) AS last_props,
+                   max(event_id) AS last_event_id
+            FROM src GROUP BY user_id
         """,
         "cdc_deletes": """
             WITH ups AS (

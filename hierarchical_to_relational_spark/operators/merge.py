@@ -92,21 +92,42 @@ def _tombstone_rows(deletes_b: DataFrame, schema: T.StructType) -> DataFrame:
 
 
 def resolve(df: DataFrame, schema: T.StructType) -> DataFrame:
-    """Collapse any pile of upsert rows (_op='u') and tombstone rows
-    (_op='d') to the canonical state: latest upsert per (conv_id, turn_idx)
-    that outlives its conversation's max delete LSN, plus one tombstone row
-    per deleted conversation (kept to kill late arrivals). Idempotent:
-    resolve(resolve(x) ∪ y) == resolve(x ∪ y)."""
+    """Collapse any pile of full-upsert rows (_op='u'), partial-upsert rows
+    (_op='p', merge-patch: null column = keep previous) and tombstone rows
+    (_op='d') to the canonical STORED state:
+
+    - latest full upsert per (conv_id, turn_idx) — whole-row LWW;
+    - every patch row NEWER than that full row, kept AS ROWS. Folding a
+      patch into the full row would stamp its columns with one LSN and
+      lose per-column provenance — a later-arriving patch with an
+      in-between LSN would then resolve wrongly. Keeping (latest full +
+      newer patches) is a join-semilattice: dominated patches (≤ the
+      latest full, which resets every column) can never matter again, so
+      dropping them is safe in ANY replay order;
+    - one tombstone row per deleted conversation (kept to kill late
+      arrivals); upserts AND patches below the delete LSN die.
+
+    Idempotent and order-insensitive: resolve(resolve(x) ∪ y) ==
+    resolve(x ∪ y). The per-column fold for USER-facing reads is
+    ``collapse_patches``; ``compact(squash_patches_below=...)`` bounds the
+    retained patch set under a binlog-retention watermark."""
     tomb = (
         df.where(F.col(META_OP) == "d")
         .groupBy(META_BUCKET, "conv_id")
         .agg(F.max(META_LSN).alias("_del_lsn"))
     )
-    ups = lww_latest(
-        df.where(F.col(META_OP) == "u"),
-        [META_BUCKET, "conv_id", "turn_idx"],
-        [META_LSN, META_TS],
+    keys = [META_BUCKET, "conv_id", "turn_idx"]
+    fulls = lww_latest(df.where(F.col(META_OP) == "u"), keys, [META_LSN, META_TS])
+    # duplicate patch rows are verbatim re-emits (same key+LSN) → collapse
+    patches = df.where(F.col(META_OP) == "p").dropDuplicates(keys + [META_LSN])
+    live_patches = (
+        patches.join(
+            fulls.select(*keys, F.col(META_LSN).alias("_full_lsn")), keys, "left"
+        )
+        .where(F.col("_full_lsn").isNull() | (F.col(META_LSN) > F.col("_full_lsn")))
+        .drop("_full_lsn")
     )
+    ups = fulls.unionByName(live_patches.select(*fulls.columns))
     live = (
         ups.join(tomb, [META_BUCKET, "conv_id"], "left")
         .where(F.col("_del_lsn").isNull() | (F.col(META_LSN) > F.col("_del_lsn")))
@@ -115,6 +136,35 @@ def resolve(df: DataFrame, schema: T.StructType) -> DataFrame:
     )
     tomb_rows = _tombstone_rows(tomb.withColumnRenamed("_del_lsn", META_LSN), schema)
     return live.unionByName(tomb_rows)
+
+
+def collapse_patches(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Per-column LWW fold of resolved rows into ONE materialized row per
+    (conv_id, turn_idx): each user column takes its value from the newest
+    row that SET it — a full row ('u') sets every column (including to
+    null), a patch row ('p') sets only its non-null columns. One hash
+    aggregation (``max_by ... FILTER``, map-side combinable — no window);
+    output rows carry _op='u' and _lsn/_commit_ts of the newest
+    contributing row, so the fold composes with resolve. Tombstone rows
+    must be excluded by the caller."""
+    keys = [META_BUCKET, "conv_id", "turn_idx"]
+    order = f"struct(`{META_LSN}`, `{META_TS}`)"
+    folded_cols = [
+        c for c in schema.fieldNames() if c not in keys and c not in (META_OP,)
+    ]
+    aggs = []
+    for c in folded_cols:
+        if c in (META_LSN, META_TS):
+            aggs.append(F.expr(f"max_by(`{c}`, {order})").alias(c))
+        else:
+            aggs.append(
+                F.expr(
+                    f"max_by(`{c}`, {order}) "
+                    f"FILTER (WHERE `{META_OP}` = 'u' OR `{c}` IS NOT NULL)"
+                ).alias(c)
+            )
+    out = df.groupBy(*keys).agg(*aggs).withColumn(META_OP, F.lit("u"))
+    return out.select(META_BUCKET, *schema.fieldNames())
 
 
 def apply_cdc_batch(
@@ -147,10 +197,9 @@ def apply_cdc_batch(
         schema = table.schema()
 
     bucket_of = table.bucket_col()
-    ups = (
-        upserts.withColumn(META_BUCKET, bucket_of(F.col("conv_id")))
-        .withColumn(META_OP, F.lit("u"))
-    )
+    ups = upserts.withColumn(META_BUCKET, bucket_of(F.col("conv_id")))
+    if META_OP not in ups.columns:  # pre-patch callers: everything full-row
+        ups = ups.withColumn(META_OP, F.lit("u"))
     for fld in schema.fields:  # older-schema batches: null-fill evolved cols
         if fld.name not in ups.columns:
             ups = ups.withColumn(fld.name, F.lit(None).cast(fld.dataType))
@@ -232,6 +281,7 @@ def compact(
     table: SnapshotTable,
     batch_id: str,
     expire_tombstones_below: int | None = None,
+    squash_patches_below: int | None = None,
 ) -> bool:
     """Fold merge-on-read deltas down: read + resolve every live bucket,
     rewrite copy-on-write. Amortized over many appends; idempotent on
@@ -240,7 +290,13 @@ def compact(
     ``expire_tombstones_below``: GC tombstone rows whose delete LSN is below
     this watermark — safe once the source guarantees no event with a lower
     LSN can still arrive (e.g. the binlog's retention horizon). Bounds the
-    tombstone set over an unbounded stream; live rows are never touched."""
+    tombstone set over an unbounded stream; live rows are never touched.
+
+    ``squash_patches_below``: fold patch rows with LSN below this watermark
+    into their key's materialized full row (per-column LWW). Safe under the
+    SAME retention contract — per-column provenance below the watermark can
+    no longer matter because nothing older can arrive. Bounds the retained
+    patch set for keys that receive patches forever without full rewrites."""
     schema = table.schema()
     live_buckets = [int(b) for b in table.snapshot()["live"].keys()]
     if not live_buckets:
@@ -252,6 +308,13 @@ def compact(
             resolved = resolved.where(
                 (F.col(META_OP) != "d") | (F.col(META_LSN) >= F.lit(expire_tombstones_below))
             )
+        if squash_patches_below is not None:
+            is_young_patch = (F.col(META_OP) == "p") & (
+                F.col(META_LSN) >= F.lit(squash_patches_below)
+            )
+            keep_raw = resolved.where((F.col(META_OP) == "d") | is_young_patch)
+            foldable = resolved.where((F.col(META_OP) != "d") & ~is_young_patch)
+            resolved = collapse_patches(foldable, schema).unionByName(keep_raw)
         return resolved
 
     # range-cluster the rewrite by conv_id: tight per-file key min-max →
@@ -313,8 +376,9 @@ def lookup_conversation(
         spark, buckets=[bucket], version=version, key_range=(conv_id, conv_id)
     ).where(F.col("conv_id") == conv_id)
     df = resolve(scan, schema)
+    folded = collapse_patches(df.where(F.col(META_OP) != "d"), schema)
     user_cols = [n for n in schema.fieldNames() if not n.startswith("_")]
-    return df.where(F.col(META_OP) == "u").select(*user_cols)
+    return folded.select(*user_cols)
 
 
 def read_transcripts(
@@ -327,5 +391,6 @@ def read_transcripts(
     Stable (conv_id, turn_idx) ordering is left to the caller."""
     schema = table.schema(version)
     df = resolve(table.read(spark, version=version), schema)
+    folded = collapse_patches(df.where(F.col(META_OP) != "d"), schema)
     user_cols = [n for n in schema.fieldNames() if not n.startswith("_")]
-    return df.where(F.col(META_OP) == "u").select(*user_cols)
+    return folded.select(*user_cols)

@@ -57,7 +57,13 @@ def normalize_envelopes(
 
     Returns:
       upserts — one row per (event, turn): all turn-struct columns +
-                ``_lsn``/``_commit_ts`` metadata, plus ``conv_id``.
+                ``_lsn``/``_commit_ts``/``_op`` metadata, plus ``conv_id``.
+                ``_op`` is 'u' for full-row upserts (op insert/update) and
+                'p' for PARTIAL upserts (op ``patch``): a patch turn sets
+                only its non-null columns, null columns mean "keep the
+                previous value" (merge-patch, the shape real CDC feeds send
+                for column-subset updates). Resolution semantics live in
+                operators.merge.resolve / collapse_patches.
       deletes — ``(conv_id, _lsn)``: max delete LSN per conversation
                 (whole-conversation tombstone watermark).
     """
@@ -68,9 +74,10 @@ def normalize_envelopes(
             F.col("conv_id"),
             F.col("lsn").alias(META_LSN),
             F.col("commit_ts").alias(META_TS),
+            F.when(F.col("op") == "patch", F.lit("p")).otherwise(F.lit("u")).alias(META_OP),
             F.explode("payload.turns").alias("t"),
         )
-        .select("conv_id", META_LSN, META_TS, "t.*")
+        .select("conv_id", META_LSN, META_TS, META_OP, "t.*")
     )
     if text_mode == "arrow":
         upserts = upserts.withColumn("text", normalize_text_arrow(F.col("text")))
@@ -79,7 +86,7 @@ def normalize_envelopes(
     elif text_mode != "none":
         raise ValueError(f"unknown text_mode {text_mode!r}")
     # stable column order: conv_id, turn columns, metadata
-    out_cols = ["conv_id"] + [f.name for f in tfields] + [META_LSN, META_TS]
+    out_cols = ["conv_id"] + [f.name for f in tfields] + [META_LSN, META_TS, META_OP]
     upserts = upserts.select(*out_cols)
 
     deletes = (

@@ -6,7 +6,7 @@ from pyspark.sql import types as T
 
 from hierarchical_to_relational_spark.config import FlattenConfig
 from hierarchical_to_relational_spark.operators.merge import table_schema_for
-from hierarchical_to_relational_spark.operators.normalize import META_LSN, META_TS
+from hierarchical_to_relational_spark.operators.normalize import META_LSN, META_OP, META_TS
 
 
 def plan_flatten(input_schema: T.StructType, cfg: FlattenConfig) -> T.StructType | None:
@@ -33,6 +33,7 @@ def plan_normalize(envelope_schema: T.StructType) -> tuple[T.StructType, T.Struc
         + [
             T.StructField(META_LSN, T.LongType(), False),
             T.StructField(META_TS, T.TimestampType(), False),
+            T.StructField(META_OP, T.StringType(), False),
         ]
     )
     deletes = T.StructType(
@@ -48,7 +49,7 @@ def plan_cdc_table(envelope_schema: T.StructType) -> T.StructType:
     """Physical target-table schema for a given envelope schema (user
     columns + merge metadata), as the streaming driver will create it."""
     upserts, _ = plan_normalize(envelope_schema)
-    user_fields = [f for f in upserts.fields if f.name not in (META_LSN, META_TS)]
+    user_fields = [f for f in upserts.fields if f.name not in (META_LSN, META_TS, META_OP)]
     return table_schema_for(user_fields)
 
 

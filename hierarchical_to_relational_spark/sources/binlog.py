@@ -24,12 +24,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+# turn_idx is the merge key (always required); the payload columns are
+# nullable because PATCH envelopes (op="patch") carry null for columns
+# they leave unchanged (merge-patch), and tombstone rows store nulls.
 TURN_FIELDS = [
     T.StructField("turn_idx", T.IntegerType(), False),
-    T.StructField("role", T.StringType(), False),
-    T.StructField("text", T.StringType(), False),
+    T.StructField("role", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
     T.StructField("tool", T.StringType(), True),
-    T.StructField("ts", T.TimestampType(), False),
+    T.StructField("ts", T.TimestampType(), True),
 ]
 
 

@@ -38,6 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact")
     c.add_argument("--batch-id", default=None)
     c.add_argument("--expire-tombstones-below", type=int, default=None)
+    c.add_argument("--squash-patches-below", type=int, default=None)
 
     e = sub.add_parser("expire")
     e.add_argument("--retain-last", type=int, default=100)
@@ -87,7 +88,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "compact":
             bid = args.batch_id or f"maintenance-compact-v{table.current_version()}"
             out = {"committed": compact(spark, table, batch_id=bid,
-                                        expire_tombstones_below=args.expire_tombstones_below),
+                                        expire_tombstones_below=args.expire_tombstones_below,
+                                        squash_patches_below=args.squash_patches_below),
                    "batch_id": bid}
         elif args.action == "rebucket":
             bid = args.batch_id or f"maintenance-rebucket-{args.n_buckets}-v{table.current_version()}"

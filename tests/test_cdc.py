@@ -337,3 +337,115 @@ def test_csv_binlog_evolved_schema(spark, tmp_path):
         want.astype({"turn_idx": "int64"}),
         check_dtype=False,
     )
+
+
+def _env_rows(spark, rows):
+    """rows: (lsn, op, conv_id, turns=[(idx, role, text, tool)]|None) → envelopes.
+    Patch turns may carry None for unset columns (merge-patch)."""
+    ts = pd.Timestamp("2026-01-01").to_pydatetime()
+    data = [
+        (
+            lsn, ts, op, cid,
+            None if turns is None else {"turns": [
+                {"turn_idx": i, "role": r, "text": t, "tool": tool, "ts": ts}
+                for (i, r, t, tool) in turns
+            ]},
+        )
+        for (lsn, op, cid, turns) in rows
+    ]
+    return spark.createDataFrame(data, envelope_schema())
+
+
+PATCH_EVENTS = [
+    # full insert: two turns
+    (1, "insert", "cA", [(0, "user", "hello", None), (1, "assistant", "hi", "bash")]),
+    # patch turn 0: only text changes, role/tool keep previous values
+    (2, "patch", "cA", [(0, None, "hello-edited", None)]),
+    # patch turn 1: only tool changes
+    (3, "patch", "cA", [(1, None, None, "python")]),
+    # full rewrite of turn 1 AFTER the patch: resets every column (tool→None)
+    (4, "update", "cA", [(1, "assistant", "hi-v2", None)]),
+    # patch on top of the rewrite
+    (5, "patch", "cA", [(1, None, None, "search")]),
+    # other conversation, then delete it — patches below the tombstone die
+    (6, "insert", "cB", [(0, "user", "doomed", None)]),
+    (7, "patch", "cB", [(0, None, "edited-doomed", None)]),
+    (8, "delete", "cB", None),
+]
+
+PATCH_WANT = {
+    ("cA", 0, "user", "hello-edited", None),
+    ("cA", 1, "assistant", "hi-v2", "search"),
+}
+
+
+def _patch_state(spark, table):
+    return {
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"])
+        for r in read_transcripts(spark, table).collect()
+    }
+
+
+def test_merge_patch_semantics(spark, tmp_path):
+    """Partial-column upserts (op=patch): null columns keep the previous
+    value; a later full row resets every column; patches below a tombstone
+    die. Final state is identical for in-order, reversed, and re-fired
+    replays (order-insensitivity of the full+patch semilattice)."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none",
+                       compact_every=10_000)
+    for i, ev in enumerate(PATCH_EVENTS):
+        pipe.apply_batch(_env_rows(spark, [ev]), f"b{i}")
+    assert _patch_state(spark, pipe.table) == PATCH_WANT
+
+    # reversed arrival, different batching
+    pipe2 = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t2"),
+                        str(tmp_path / "ck2"), n_buckets=2, text_mode="none",
+                        compact_every=10_000)
+    rev = list(reversed(PATCH_EVENTS))
+    pipe2.apply_batch(_env_rows(spark, rev[:3]), "r0")
+    pipe2.apply_batch(_env_rows(spark, rev[3:]), "r1")
+    # duplicate re-fire of the whole stream under a new id (dup events)
+    pipe2.apply_batch(_env_rows(spark, PATCH_EVENTS), "r2")
+    assert _patch_state(spark, pipe2.table) == PATCH_WANT
+
+
+def test_merge_patch_compaction_and_squash(spark, tmp_path):
+    """Compaction keeps live patch rows as rows (per-column provenance
+    survives the fold) — a LATE patch with an in-between LSN still resolves
+    correctly after compaction. squash_patches_below folds patches under
+    the retention watermark into materialized rows and state is unchanged."""
+    from hierarchical_to_relational_spark.operators.merge import compact
+    from hierarchical_to_relational_spark.operators.normalize import META_OP
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none",
+                       compact_every=10_000)
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "base", "bash")]),
+        (4, "patch", "cA", [(0, None, "patched@4", None)]),
+    ]), "b0")
+    compact(spark, pipe.table, batch_id="c0")
+    # late patch with LSN 3 (< 4): sets tool; text must STAY patched@4
+    # (set at 4), tool comes from 3, role from the full row at 1
+    pipe.apply_batch(_env_rows(spark, [
+        (3, "patch", "cA", [(0, None, "late-text@3", "python")]),
+    ]), "b1")
+    assert _patch_state(spark, pipe.table) == {("cA", 0, "user", "patched@4", "python")}
+
+    # squash everything below LSN 10 → patches fold away, state unchanged
+    compact(spark, pipe.table, batch_id="c1", squash_patches_below=10)
+    stored = pipe.table.read(spark)
+    assert stored.where(F.col(META_OP) == "p").count() == 0
+    assert _patch_state(spark, pipe.table) == {("cA", 0, "user", "patched@4", "python")}
+
+
+def test_merge_patch_without_base_row(spark, tmp_path):
+    """A patch for a key that never got a full upsert materializes a row
+    with nulls for never-set columns (upsert-style, total semantics)."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "patch", "cX", [(0, None, "orphan-patch", None)]),
+    ]), "b0")
+    assert _patch_state(spark, pipe.table) == {("cX", 0, None, "orphan-patch", None)}
