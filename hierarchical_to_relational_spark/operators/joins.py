@@ -34,6 +34,20 @@ def _epoch_seconds(df: DataFrame, colname: str) -> Column:
     return c.cast("double")
 
 
+def _has_unorderable(dt) -> bool:
+    """True when a type (or any nested part of it) is not orderable in
+    Spark — MapType is the practical case (no < ordering defined)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_unorderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_has_unorderable(f.dataType) for f in dt.fields)
+    return False
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -43,6 +57,7 @@ def asof_join(
     right_payload: list[str] | None = None,
     tolerance: int | None = None,
     suffix: str = "_asof",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Backward as-of join: every left row, plus the latest right payload
     at or before its timestamp (NULLs when no right row precedes it).
@@ -51,19 +66,37 @@ def asof_join(
     non-ts columns), each renamed with ``suffix``. ``tolerance``: optional
     max allowed (left_ts - right_ts) in the timestamp's native unit
     (seconds for timestamps); older matches become NULL, matching pandas'
-    ``merge_asof(tolerance=...)``."""
+    ``merge_asof(tolerance=...)``.
+
+    ``tiebreak_cols``: ORDERABLE right columns that order duplicate right
+    rows at the same (key, ts) — the row with the max tiebreak tuple wins
+    (``max_by``). Required when the payload contains non-orderable types
+    (maps), where the default max-payload-struct dedup cannot compare."""
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in on and c != right_ts]
     out_cols = [f"{c}{suffix}" for c in right_payload]
 
     # Determinism: duplicate right rows at the same (key, ts) would make
     # F.last() pick whichever lands physically last in the window's tie
-    # region — partitioning-dependent. Collapse them to the MAX payload
-    # struct first (one hash agg with map-side combine; requires orderable
-    # payload types — arrays yes, maps no).
-    packed = right.groupBy(*on, right_ts).agg(
-        F.max(F.struct(*right_payload)).alias("_rp")
-    )
+    # region — partitioning-dependent. Collapse them first (one hash agg
+    # with map-side combine): max over the payload struct, which requires
+    # orderable payload types — or max_by over explicit tiebreak columns
+    # when the payload holds maps.
+    if tiebreak_cols is not None:
+        packed = right.groupBy(*on, right_ts).agg(
+            F.max_by(F.struct(*right_payload), F.struct(*tiebreak_cols)).alias("_rp")
+        )
+    else:
+        for c in right_payload:
+            if _has_unorderable(right.schema[c].dataType):
+                raise TypeError(
+                    f"asof_join payload column {c!r} has a non-orderable type "
+                    f"({right.schema[c].dataType.simpleString()}); pass "
+                    f"tiebreak_cols=[...] to define which duplicate wins"
+                )
+        packed = right.groupBy(*on, right_ts).agg(
+            F.max(F.struct(*right_payload)).alias("_rp")
+        )
     right = packed.select(
         *on, right_ts, *[F.col(f"_rp.{c}").alias(c) for c in right_payload]
     )

@@ -103,3 +103,25 @@ def test_asof_right_duplicates_deterministic(spark):
         out = asof_join(left.repartition(4), right.repartition(7),
                         on=["k"], left_ts="ts", right_ts="ts")
         assert out.collect()[0]["v_asof"] == "z"
+
+
+def test_asof_map_payload_requires_tiebreak(spark):
+    """Map-typed payload columns are not orderable: without tiebreak_cols
+    the join refuses loudly; with an explicit tiebreak the duplicate at
+    the same (key, ts) with the max tiebreak wins, deterministically."""
+    import pytest
+
+    left = spark.createDataFrame([("u", 10, "c")], "k string, ts long, c string")
+    right = spark.createDataFrame(
+        [("u", 8, 1, {"a": "old"}), ("u", 8, 3, {"a": "new"}), ("u", 8, 2, {"a": "mid"})],
+        "k string, ts long, seq long, attrs map<string,string>",
+    )
+    with pytest.raises(TypeError, match="non-orderable"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+
+    for _ in range(3):
+        out = asof_join(left.repartition(4), right.repartition(7),
+                        on=["k"], left_ts="ts", right_ts="ts",
+                        tiebreak_cols=["seq"])
+        row = out.collect()[0]
+        assert row["attrs_asof"] == {"a": "new"} and row["seq_asof"] == 3
