@@ -306,7 +306,21 @@ def ivf_topk(
     else:
         raise ValueError(f"unknown assign strategy {assign!r} (join | arrow)")
     c_cells = c_cells.select(F.col("_id").alias("neighbor_id"), "cell", F.col("v").alias("cv"))
+    return _ivf_search(queries, c_cells, cent, id_col, vec_col, k, n_probe)
 
+
+def _ivf_search(
+    queries: DataFrame,
+    c_cells: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Probe+score stage over a prebuilt inverted file ``c_cells``
+    (neighbor_id, cell, cv) — split out so the index builds once and can
+    be searched at several probe settings (ivf_auto_probe)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _unit(F.col(vec_col).cast("array<double>")).alias("qv"),
@@ -329,6 +343,54 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def ivf_auto_probe(
+    sample_queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    target_recall: float = 0.8,
+    n_iters: int = 4,
+    seed: int = 0,
+    train_sample: int | None = None,
+    assign: str = "join",
+) -> tuple[int, float]:
+    """Recall-tuned probe selection: the smallest ``n_probe`` on the
+    doubling ladder 1, 2, 4, … ``n_cells`` whose MEASURED recall@k against
+    brute force on the given held-out query sample meets ``target_recall``.
+    Returns ``(n_probe, measured_recall)``; recall 1.0 is guaranteed at
+    ``n_probe == n_cells`` (every cell probed ⇒ brute force), so the
+    ladder always terminates with a valid setting.
+
+    Cost discipline: centroids train once, the inverted file builds once
+    (pinned via localCheckpoint — at production scale you'd persist the
+    index anyway); each rung re-runs only the probe+score stage over the
+    SAMPLE queries, and brute-force ground truth is O(sample × corpus) —
+    size the sample accordingly (tens of queries suffice: recall is a
+    per-query average)."""
+    exact = brute_force_topk(sample_queries, corpus, id_col, vec_col, k).localCheckpoint()
+    cents = ivf_centroid_list(corpus, id_col, vec_col, n_cells, n_iters, seed, train_sample)
+    if not cents:
+        return 1, 1.0  # degenerate corpus: brute-force fallback is exact
+    cent = corpus.sparkSession.createDataFrame(cents, "cell int, cvec array<double>")
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        _unit(F.col(vec_col).cast("array<double>")).alias("v"),
+    ).where(F.col("v").isNotNull())
+    c_cells = (_assign_cells(c, cent) if assign == "join" else _assign_cells_arrow(c, cents))
+    c_cells = c_cells.select(
+        F.col("_id").alias("neighbor_id"), "cell", F.col("v").alias("cv")
+    ).localCheckpoint()
+    probe = 1
+    while True:
+        approx = _ivf_search(sample_queries, c_cells, cent, id_col, vec_col, k, probe)
+        r = recall_at_k(approx, exact, k)
+        if r >= target_recall or probe >= n_cells:
+            return probe, r
+        probe = min(probe * 2, n_cells)
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:

@@ -227,3 +227,31 @@ def test_simhash_production_hash_variant(spark):
     out = {r["doc_id"]: r["simhash"]
            for r in dd.simhash_fingerprint(d, "doc_id", "text", hash_fn="xxhash64").collect()}
     assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in out.values())
+
+
+def test_ivf_auto_probe_hits_target(spark):
+    """The probe selector returns the smallest ladder rung whose MEASURED
+    recall meets the target; the returned setting actually delivers that
+    recall when re-run, and an impossible-to-miss target (recall 1.0)
+    resolves because probing all cells degrades to exact search."""
+    emb = _embeddings(spark)
+    queries = emb.where(F.col("vec_id") % 50 == 0)  # held-out sample
+    probe, measured = sim.ivf_auto_probe(
+        queries, emb, k=10, n_cells=16, target_recall=0.6
+    )
+    assert measured >= 0.6 and 1 <= probe <= 16
+    # the selected setting reproduces the measured recall end-to-end
+    exact = sim.brute_force_topk(queries, emb, k=10)
+    again = sim.recall_at_k(
+        sim.ivf_topk(queries, emb, k=10, n_cells=16, n_probe=probe), exact, k=10
+    )
+    assert again == measured
+    # smaller rung (if any) must miss the target — minimality of the ladder
+    if probe > 1:
+        below = sim.recall_at_k(
+            sim.ivf_topk(queries, emb, k=10, n_cells=16, n_probe=probe // 2), exact, k=10
+        )
+        assert below < 0.6
+    # target 1.0 terminates (all-cells probe == brute force)
+    p_full, r_full = sim.ivf_auto_probe(queries, emb, k=10, n_cells=16, target_recall=1.0)
+    assert r_full == 1.0 and p_full <= 16
