@@ -50,7 +50,29 @@ HEADLINE = [
     "text_profile_docs_fast",
     "ann_topk",
     "ann_ivf_topk",
+    "ann_lsh_topk",
+    "merge_patch",
 ]
+
+# The ann contract queries wrap the operator in a correctness harness
+# (brute-force ground truth + recall/exactness checks) for the driver's
+# oracle gate; the bench measures the PURE operator at the same settings
+# so per-query times stay comparable round-over-round.
+def _pure_ops():
+    from pyspark.sql import functions as F
+    from hierarchical_to_relational_spark.operators import similarity as sim
+
+    def ivf(spark, sf_dir):
+        emb = E._t(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") < 5)
+        return sim.ivf_topk(q, emb, k=10, n_cells=16, n_probe=6)
+
+    def lsh(spark, sf_dir):
+        emb = E._t(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") < 5)
+        return sim.lsh_topk(q, emb, k=10, n_planes=4, probe_hamming=1)
+
+    return {"ann_ivf_topk": ivf, "ann_lsh_topk": lsh}
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
@@ -114,7 +136,7 @@ def main() -> None:
     n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "8"))
     spark = get_spark(app_name="h2r-bench", master=f"local[{cpus}]")
 
-    queries = E.queries()
+    queries = {**E.queries(), **_pure_ops()}
     timings: dict[str, float] = {}
     headline = [] if os.environ.get("BENCH_CDC_ONLY") else HEADLINE
     passes = max(1, int(os.environ.get("BENCH_QUERY_PASSES", "2")))
