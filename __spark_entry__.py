@@ -264,6 +264,81 @@ def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_cdc(spark, sf_dir)
 
 
+def q_cdc_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC egress (changes_since): replay the stream in 3
+    out-of-order MoR batches, checkpoint the snapshot VERSION after batch
+    1, apply batch 2, then poll the net diff — materialized 'u' rows for
+    every key batch 2 could have touched (including keys whose LWW winner
+    predates the checkpoint: re-emission is idempotent) plus 'd' rows for
+    conversations whose tombstone advanced. The cursor is the snapshot
+    version, not an LSN, so late low-LSN events are still surfaced."""
+    from hierarchical_to_relational_spark.operators.merge import changes_since
+
+    env = _mk_envelopes(_t(spark, sf_dir, "events"))
+    root = tempfile.mkdtemp(prefix="h2r-cdc-egress-")
+    turn_cols = [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+    table = SnapshotTable.create(os.path.join(root, "transcripts"), table_schema_for(turn_cols), 8)
+    v1 = None
+    for b in range(3):
+        batch = env.where(F.col("lsn") % 3 == b)
+        upserts, deletes = normalize_envelopes(batch, text_mode="none")
+        apply_cdc_batch(spark, table, upserts, deletes, batch_id=f"replay-{b}")
+        if b == 1:
+            v1 = table.current_version()
+    return changes_since(spark, table, v1).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "change_lsn", "change_op"
+    )
+
+
+_CDC_CHANGES_ORACLE = """
+    WITH ups AS (
+        SELECT 'u' || user_id AS conv_id,
+               CAST(event_id % 7 AS INTEGER) AS turn_idx,
+               event_type AS role, props AS text, ts, event_id AS lsn,
+               row_number() OVER (PARTITION BY user_id, event_id % 7
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type <> 'error'
+    ),
+    dels AS (
+        SELECT 'u' || user_id AS conv_id, max(event_id) AS del_lsn
+        FROM events WHERE event_type = 'error' GROUP BY user_id
+    ),
+    final AS (
+        SELECT u.conv_id, u.turn_idx, u.role, u.text, u.ts, u.lsn
+        FROM ups u LEFT JOIN dels d ON u.conv_id = d.conv_id
+        WHERE u.rn = 1 AND (d.del_lsn IS NULL OR u.lsn > d.del_lsn)
+    ),
+    late_up_keys AS (
+        SELECT DISTINCT 'u' || user_id AS conv_id,
+               CAST(event_id % 7 AS INTEGER) AS turn_idx
+        FROM events WHERE event_type <> 'error' AND event_id % 3 = 2
+    ),
+    late_del AS (
+        SELECT 'u' || user_id AS conv_id, max(event_id) AS change_lsn
+        FROM events WHERE event_type = 'error' AND event_id % 3 = 2
+        GROUP BY user_id
+    )
+    SELECT f.conv_id, f.turn_idx, f.role, f.text, f.ts,
+           f.lsn AS change_lsn, 'u' AS change_op
+    FROM final f
+    WHERE EXISTS (SELECT 1 FROM late_up_keys k
+                  WHERE k.conv_id = f.conv_id AND k.turn_idx = f.turn_idx)
+       OR EXISTS (SELECT 1 FROM late_del l WHERE l.conv_id = f.conv_id)
+    UNION ALL
+    SELECT conv_id, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
+           change_lsn, 'd'
+    FROM late_del
+"""
+
+
 _CDC_REPLAY_ORACLE = """
     WITH ups AS (
         SELECT 'u' || user_id AS conv_id,
@@ -825,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_deletes": q_cdc_deletes,
         "normalize_roundtrip": q_normalize_roundtrip,
         "cdc_replay": q_cdc_replay,
+        "cdc_changes_since": q_cdc_changes_since,
         "agg_pricing": q_agg_pricing,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
@@ -975,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "cdc_replay": _CDC_REPLAY_ORACLE,
+        "cdc_changes_since": _CDC_CHANGES_ORACLE,
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty,

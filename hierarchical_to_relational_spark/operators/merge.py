@@ -24,6 +24,7 @@ late binlog data is handled without event-time watermarks (SURVEY.md §2.2).
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -253,6 +254,7 @@ def _overwrite_resolved(
     resolve_fn,
     retries: int = 5,
     cluster_by: str | None = None,
+    kind: str = "overwrite",
 ) -> bool:
     """Copy-on-write commit loop with concurrent-writer validation: read the
     listed buckets AT a pinned version, resolve via ``resolve_fn(current)``,
@@ -267,7 +269,7 @@ def _overwrite_resolved(
         try:
             return table.commit_overwrite_buckets(
                 resolved, buckets, batch_id=batch_id, base_version=base_v,
-                cluster_by=cluster_by,
+                cluster_by=cluster_by, kind=kind,
             )
         except ConcurrentOverwriteError:
             continue
@@ -321,7 +323,7 @@ def compact(
     # point lookups prune to ~one file per bucket in the compacted base
     return _overwrite_resolved(
         spark, table, schema, live_buckets, batch_id, resolve_fn,
-        cluster_by="conv_id",
+        cluster_by="conv_id", kind="compact",
     )
 
 
@@ -379,6 +381,199 @@ def lookup_conversation(
     folded = collapse_patches(df.where(F.col(META_OP) != "d"), schema)
     user_cols = [n for n in schema.fieldNames() if not n.startswith("_")]
     return folded.select(*user_cols)
+
+
+def _diff_live_dirs(
+    table: SnapshotTable, since_version: int, version: int
+) -> tuple[dict[str, list[str]], set[str]]:
+    """Walk the snapshot log from ``since_version`` to ``version`` and
+    classify what changed per bucket:
+
+    - ``added[bucket] = [commit dirs]`` — dirs APPENDED by logical-change
+      commits (MoR deltas): scanning exactly these files surfaces every
+      key that could have changed;
+    - ``superset`` — buckets rewritten by a commit we cannot diff
+      minimally (CoW overwrite, pre-``kind`` snapshots): every current
+      key in them counts as changed. Safe because every commit kind except
+      rollback preserves tombstones — rows never silently vanish, so
+      re-emitting the bucket's current rows + tombstones is a correct
+      (if non-minimal) net diff.
+
+    Pure-rewrite commits (``kind`` compact / rebucket — and ``evolve``,
+    whose live map is unchanged) are logical no-ops and are SKIPPED: their
+    live-map churn folds rows that earlier appends already surfaced (or
+    that predate ``since_version``). A bucket-count change makes bucket
+    ids incomparable → everything is superset.
+
+    A ``rollback`` in the window raises ``ValueError``: rolling back can
+    REMOVE rows without leaving tombstones, which no emission can express
+    — the consumer must full-resync (same restriction as Iceberg's
+    incremental reads across non-append history rewrites)."""
+    start = table.snapshot(since_version)  # raises if expired — by design
+    added: dict[str, list[str]] = {}
+    superset: set[str] = set()
+    prev = start["live"]
+    respec = False  # any rebucket → bucket labels incomparable across window
+    for v in range(since_version + 1, version + 1):
+        snap = table.snapshot(v)
+        cur = snap["live"]
+        kind = snap.get("kind")
+        if kind == "rebucket" or snap["n_buckets"] != start["n_buckets"]:
+            respec = True
+        if kind is None and snap["batch_id"].endswith(("::compact", "::evolve")):
+            kind = "compact"  # pre-kind snapshots from this engine's pipeline
+        if kind == "rollback":
+            raise ValueError(
+                f"changes_since window ({since_version}, {version}] contains a "
+                f"rollback at v{v}: rolled-back rows vanish without tombstones, "
+                "so an incremental diff cannot be emitted — full resync required"
+            )
+        if kind in ("compact", "rebucket", "evolve"):
+            prev = cur
+            continue
+        for b in set(prev) | set(cur):
+            a, c = prev.get(b, []), cur.get(b, [])
+            if c[: len(a)] == a:
+                added.setdefault(b, []).extend(c[len(a):])
+            else:
+                superset.add(b)
+        prev = cur
+    if respec:
+        return {}, set(table.snapshot(version)["live"].keys())
+    return added, superset
+
+
+def changes_since(
+    spark: SparkSession,
+    table: SnapshotTable,
+    since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Incremental CDC egress (the Iceberg incremental-read / changelog
+    analog): the NET state changes between two snapshot VERSIONS, for a
+    downstream consumer that checkpointed ``since_version``. The cursor is
+    the snapshot version, not a data LSN — the stream is out-of-order, so
+    a late event with a LOW LSN still changes state; only the commit log
+    orders what a consumer has and hasn't seen.
+
+    Emits, against the state at ``version`` (default current):
+
+    - ``change_op='u'``: one MATERIALIZED row per (conv_id, turn_idx)
+      whose current resolved state a commit in the window could have
+      touched, with ``change_lsn`` = newest contributing LSN.
+      Intermediate overwrites collapse to the final row (net semantics);
+      a re-delivered duplicate re-emits the current row (idempotent for
+      the consumer). Conversations whose tombstone advanced also re-emit
+      their surviving rows, so "apply all 'd', then all 'u'" is always a
+      correct consumer apply order (emitted 'u' rows are post-resolution
+      live state and supersede every emitted tombstone).
+    - ``change_op='d'``: one row per conversation whose tombstone was
+      (re-)written in the window (null payload columns, ``change_lsn`` =
+      delete LSN). A late upsert that was dead on arrival (below a
+      tombstone the consumer already saw) nets to nothing.
+
+    Scale shape: the snapshot-log walk is driver-side metadata (bounded by
+    the retention window). Phase 1 scans ONLY the delta dirs appended by
+    logical-change commits in the window — on the MoR hot path that is
+    exactly the new batches, independent of table size. Buckets rewritten
+    by non-append commits (CoW merge, rollback) degrade to whole-bucket
+    re-emission — correct, just not minimal — while pure rewrites
+    (compaction, re-bucketing) are skipped entirely. Phase 2 materializes
+    current rows reading only the affected buckets. Raising
+    ``FileNotFoundError`` when ``since_version`` fell out of the retained
+    snapshot window tells the consumer to fall back to a full re-sync."""
+    v2 = table.current_version() if version is None else version
+    schema = table.schema(v2)
+    user_cols = [n for n in schema.fieldNames() if not n.startswith("_")]
+    out_schema = T.StructType(
+        [schema[c] for c in user_cols]
+        + [
+            T.StructField("change_lsn", T.LongType(), True),
+            T.StructField("change_op", T.StringType(), False),
+        ]
+    )
+    added, superset = _diff_live_dirs(table, since_version, v2)
+    added = {b: ds for b, ds in added.items() if b not in superset and ds}
+    if not added and not superset:
+        return spark.createDataFrame([], out_schema)
+
+    keys = [META_BUCKET, "conv_id", "turn_idx"]
+    # phase 1: scan exactly the appended delta files → candidate keys
+    parts = []
+    by_dir: dict[str, list[str]] = {}
+    for b, ds in added.items():
+        for d in ds:
+            by_dir.setdefault(d, []).append(b)
+    for d, bs in sorted(by_dir.items()):
+        base = os.path.join(table.root, d)
+        paths = [os.path.join(base, f"_bucket={b}") for b in sorted(bs, key=int)]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if paths:
+            df = spark.read.option("basePath", base).parquet(*paths)
+            for c in ("conv_id", "turn_idx", META_OP, META_LSN):
+                if c not in df.columns:  # dirs written before an evolve
+                    df = df.withColumn(c, F.lit(None))
+            parts.append(df.select(META_BUCKET, "conv_id", "turn_idx", META_OP, META_LSN))
+    if parts:
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        changed_keys = delta.where(F.col(META_OP) != "d").select(*keys).distinct()
+        tomb_added = (
+            delta.where(F.col(META_OP) == "d")
+            .groupBy(META_BUCKET, "conv_id")
+            .agg(F.max(META_LSN).alias("change_lsn"))
+        )
+    else:
+        empty_keys = T.StructType(
+            [T.StructField(META_BUCKET, T.IntegerType()), schema["conv_id"], schema["turn_idx"]]
+        )
+        changed_keys = spark.createDataFrame([], empty_keys)
+        tomb_added = spark.createDataFrame(
+            [], T.StructType(
+                [T.StructField(META_BUCKET, T.IntegerType()), schema["conv_id"],
+                 T.StructField("change_lsn", T.LongType())]
+            )
+        )
+
+    # phase 2: materialize current rows for affected buckets only
+    buckets = sorted(int(b) for b in set(added) | superset)
+    resolved = resolve(table.read(spark, buckets=buckets, version=v2), schema)
+    live = resolved.where(F.col(META_OP) != "d")
+    is_super = F.col(META_BUCKET).isin([int(b) for b in superset]) if superset else F.lit(False)
+    marked = (
+        live.join(changed_keys.withColumn("_mk", F.lit(1)), keys, "left")
+        .join(
+            tomb_added.select(META_BUCKET, "conv_id", F.lit(1).alias("_mc")).distinct(),
+            [META_BUCKET, "conv_id"],
+            "left",
+        )
+        .where(F.col("_mk").isNotNull() | F.col("_mc").isNotNull() | is_super)
+        .drop("_mk", "_mc")
+    )
+    ups_out = collapse_patches(marked, schema).select(
+        *user_cols, F.col(META_LSN).alias("change_lsn"), F.lit("u").alias("change_op")
+    )
+    # deletes: tombstones (re-)written in the window; superset buckets
+    # re-emit every retained tombstone (idempotent re-drop for consumers)
+    tomb_super = (
+        resolved.where((F.col(META_OP) == "d") & is_super)
+        .select(META_BUCKET, "conv_id", F.col(META_LSN).alias("change_lsn"))
+    )
+    dels = (
+        tomb_added.unionByName(tomb_super)
+        .groupBy("conv_id")
+        .agg(F.max("change_lsn").alias("change_lsn"))
+    )
+    dels_out = dels.select(
+        *[
+            F.col(c) if c == "conv_id" else F.lit(None).cast(schema[c].dataType).alias(c)
+            for c in user_cols
+        ],
+        F.col("change_lsn").cast("long").alias("change_lsn"),
+        F.lit("d").alias("change_op"),
+    )
+    return ups_out.unionByName(dels_out)
 
 
 def read_transcripts(

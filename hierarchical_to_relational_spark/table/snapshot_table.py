@@ -140,6 +140,7 @@ class SnapshotTable:
                     {
                         "version": 0,
                         "batch_id": "__create__",
+                        "kind": "create",
                         "schema": schema.json(),
                         "n_buckets": n_buckets,
                         "live": {},
@@ -538,6 +539,7 @@ class SnapshotTable:
         commit_meta: tuple[str, dict] | None = None,
         retries: int = 20,
         n_buckets_override: int | None = None,
+        kind: str = "append",
     ) -> bool:
         """Optimistic-concurrency commit (Iceberg-style): build the new
         ``live`` mapping from the CURRENT snapshot via ``update_live(live)``,
@@ -550,7 +552,14 @@ class SnapshotTable:
         dir; the snapshot's ``commit_bytes`` stats are pruned to dirs still
         referenced by ``live`` so manifest size stays O(live dirs).
         ``n_buckets_override`` flips the bucket spec in the same atomic
-        snapshot (re-bucketing migration)."""
+        snapshot (re-bucketing migration).
+
+        ``kind`` labels the commit's LOGICAL effect in the snapshot
+        (append / overwrite / compact / rebucket / rollback / evolve):
+        incremental readers (``operators.merge.changes_since``) skip
+        pure-rewrite kinds (compact, rebucket) — their live-map churn
+        carries no logical change — and treat non-append live diffs from
+        the other kinds as whole-bucket changes."""
         for _ in range(retries):
             if batch_id in self.committed_batch_ids():
                 return False
@@ -564,6 +573,7 @@ class SnapshotTable:
             snap = {
                 "version": cur["version"] + 1,
                 "batch_id": batch_id,
+                "kind": kind,
                 "schema": schema.json(),
                 "n_buckets": n_buckets_override if n_buckets_override is not None else cur["n_buckets"],
                 "live": new_live,
@@ -593,6 +603,7 @@ class SnapshotTable:
         new_schema: T.StructType | None = None,
         base_version: int | None = None,
         cluster_by: str | None = None,
+        kind: str = "overwrite",
     ) -> bool:
         """Copy-on-write commit: replace the listed buckets' contents with
         ``df`` (which must carry a ``_bucket`` column and only rows in those
@@ -641,7 +652,9 @@ class SnapshotTable:
                     live.pop(key, None)  # bucket emptied (all rows deleted)
             return live
 
-        return self._commit(batch_id, schema, update, commit_meta=(commit_rel, written))
+        return self._commit(
+            batch_id, schema, update, commit_meta=(commit_rel, written), kind=kind
+        )
 
     def commit_append(
         self,
@@ -666,7 +679,9 @@ class SnapshotTable:
                 live.setdefault(b, []).append(commit_rel)
             return live
 
-        return self._commit(batch_id, schema, update, commit_meta=(commit_rel, written))
+        return self._commit(
+            batch_id, schema, update, commit_meta=(commit_rel, written), kind="append"
+        )
 
     def commit_rebucket(
         self,
@@ -704,6 +719,7 @@ class SnapshotTable:
         return self._commit(
             batch_id, schema, update,
             commit_meta=(commit_rel, written), n_buckets_override=new_n_buckets,
+            kind="rebucket",
         )
 
     def delta_depth(self) -> int:
@@ -777,6 +793,7 @@ class SnapshotTable:
             schema,
             lambda live: {b: list(ds) for b, ds in target["live"].items()},
             n_buckets_override=target["n_buckets"],
+            kind="rollback",
         )
 
     # ---------- maintenance: snapshot expiration + orphan GC ----------
@@ -875,4 +892,4 @@ class SnapshotTable:
         for fld in add_fields:
             if fld.name not in existing:
                 schema = schema.add(T.StructField(fld.name, fld.dataType, True))
-        return self._commit(batch_id, schema, lambda live: live)
+        return self._commit(batch_id, schema, lambda live: live, kind="evolve")

@@ -449,3 +449,162 @@ def test_merge_patch_without_base_row(spark, tmp_path):
         (1, "patch", "cX", [(0, None, "orphan-patch", None)]),
     ]), "b0")
     assert _patch_state(spark, pipe.table) == {("cX", 0, None, "orphan-patch", None)}
+
+
+# ---------------------------------------------------------------------------
+# changes_since: incremental CDC egress (net-diff contract)
+# ---------------------------------------------------------------------------
+
+def _apply_diff(state: pd.DataFrame, changes) -> pd.DataFrame:
+    """Independent consumer model: apply a changes_since poll to a cached
+    snapshot — deletes drop whole conversations, then upserts replace rows
+    by (conv_id, turn_idx). Emitted upserts always supersede the poll's
+    tombstones (they are post-resolution live state), so d-then-u is the
+    correct apply order regardless of per-row LSNs."""
+    dead = {r["conv_id"] for r in changes if r["change_op"] == "d"}
+    ups = [r for r in changes if r["change_op"] == "u"]
+    out = state[~state["conv_id"].isin(dead)]
+    if ups:
+        up_df = pd.DataFrame(
+            [{c: r[c] for c in state.columns} for r in ups], columns=state.columns
+        )
+        keys = list(zip(up_df["conv_id"], up_df["turn_idx"]))
+        mask = [
+            (c, t) not in set(keys) for c, t in zip(out["conv_id"], out["turn_idx"])
+        ]
+        out = pd.concat([out[mask], up_df], ignore_index=True)
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_changes_since_net_diff(spark, tmp_path, binlog):
+    """Replay half the (shuffled, out-of-order) stream, checkpoint
+    (state, version); replay the rest, with compactions before and after
+    the checkpoint; changes_since(version) applied to the checkpointed
+    state must equal the current table state — late events with LOW LSNs
+    are still surfaced because the cursor is the snapshot version, and the
+    post-checkpoint compaction (a pure rewrite) adds no spurious
+    re-emissions."""
+    from hierarchical_to_relational_spark.operators.merge import changes_since, compact
+
+    pipe = CdcPipeline(spark, binlog["dir"], str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=8, text_mode="none", compact_every=10_000)
+    half = len(binlog["paths"]) // 2
+    for i, p in enumerate(binlog["paths"][:half]):
+        pipe.replay_batch(p, f"seg-{i}")
+    compact(spark, pipe.table, batch_id="mid-compact")
+    state1 = _final_state(spark, pipe.table)
+    v1 = pipe.table.current_version()
+
+    for i, p in enumerate(binlog["paths"][half:]):
+        pipe.replay_batch(p, f"seg-late-{i}")
+    compact(spark, pipe.table, batch_id="late-compact")
+
+    changes = changes_since(spark, pipe.table, v1).collect()
+    assert changes, "second half of the stream must surface changes"
+    got = _apply_diff(state1, changes)
+    want = _final_state(spark, pipe.table)
+    pd.testing.assert_frame_equal(
+        got.astype({"turn_idx": "int64"}), want.astype({"turn_idx": "int64"}),
+        check_dtype=False,
+    )
+
+    # idle poll at the advanced cursor: empty, stable schema
+    again = changes_since(spark, pipe.table, pipe.table.current_version())
+    assert again.count() == 0
+    assert again.columns == [c for c in want.columns] + ["change_lsn", "change_op"]
+
+
+def test_changes_since_delete_then_reinsert(spark, tmp_path):
+    """A conversation deleted and re-inserted past the watermark emits BOTH
+    a 'd' row and the new 'u' rows; a late dead upsert (below an old
+    tombstone the consumer already saw) nets to nothing."""
+    from hierarchical_to_relational_spark.operators.merge import changes_since
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "v1", None)]),
+        (5, "delete", "cB", None),          # consumer sees this tombstone
+    ]), "b0")
+    v1 = pipe.table.current_version()
+    pipe.apply_batch(_env_rows(spark, [
+        (6, "delete", "cA", None),
+        (7, "insert", "cA", [(0, "user", "reborn", None)]),
+        (3, "insert", "cB", [(0, "user", "late-dead", None)]),  # below cB tombstone
+    ]), "b1")
+    rows = changes_since(spark, pipe.table, v1).collect()
+    by_op = {}
+    for r in rows:
+        by_op.setdefault(r["change_op"], []).append(r)
+    assert {r["conv_id"] for r in by_op.get("d", [])} == {"cA"}
+    assert [(r["conv_id"], r["turn_idx"], r["text"]) for r in by_op.get("u", [])] == [
+        ("cA", 0, "reborn")
+    ]
+
+
+def test_changes_since_pure_rewrites_emit_nothing(spark, tmp_path):
+    """A window containing only a compaction (pure rewrite) emits zero
+    changes — the live-map churn is skipped via the commit kind."""
+    from hierarchical_to_relational_spark.operators.merge import changes_since, compact
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none",
+                       compact_every=10_000)
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "v1", None)]),
+        (2, "insert", "cB", [(0, "user", "v1", None)]),
+    ]), "b0")
+    v1 = pipe.table.current_version()
+    compact(spark, pipe.table, batch_id="c0")
+    assert changes_since(spark, pipe.table, v1).count() == 0
+
+
+def test_changes_since_rollback_requires_resync(spark, tmp_path):
+    """A rollback in the window raises: rolled-back rows vanish without
+    tombstones, so no incremental emission can express the diff — the
+    consumer must full-resync (Iceberg incremental-read restriction).
+    A CoW overwrite in the window, by contrast, degrades to whole-bucket
+    re-emission and stays correct."""
+    from hierarchical_to_relational_spark.operators.merge import changes_since
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "keep", None)]),
+    ]), "b0")
+    v_good = pipe.table.current_version()
+    pipe.apply_batch(_env_rows(spark, [
+        (2, "insert", "cA", [(0, "user", "bad-data", None)]),
+        (3, "insert", "cC", [(0, "user", "bad-row", None)]),
+    ]), "b1")
+    v_ckpt = pipe.table.current_version()
+    # consumer checkpointed AFTER the bad batch; operator rolls it back
+    pipe.table.rollback(v_good, batch_id="rb0")
+    with pytest.raises(ValueError, match="resync"):
+        changes_since(spark, pipe.table, v_ckpt)
+
+
+def test_changes_since_cow_overwrite_supersets(spark, tmp_path):
+    """A CoW-mode merge commit in the window (non-append live change)
+    degrades to whole-bucket re-emission; applying the poll to the
+    checkpointed state still reproduces the current table state."""
+    from hierarchical_to_relational_spark.operators.merge import changes_since
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none",
+                       mode="cow")
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "v1", None)]),
+        (2, "insert", "cB", [(0, "user", "stays", None)]),
+    ]), "b0")
+    v1 = pipe.table.current_version()
+    state1 = _final_state(spark, pipe.table)
+    pipe.apply_batch(_env_rows(spark, [
+        (3, "update", "cA", [(0, "user", "v2", None)]),
+        (4, "delete", "cB", None),
+        (5, "insert", "cC", [(0, "user", "new", None)]),
+    ]), "b1")
+    changes = changes_since(spark, pipe.table, v1).collect()
+    got = _apply_diff(state1, changes)
+    want = _final_state(spark, pipe.table)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
