@@ -284,6 +284,7 @@ def compact(
     batch_id: str,
     expire_tombstones_below: int | None = None,
     squash_patches_below: int | None = None,
+    zorder: list[str] | None = None,
 ) -> bool:
     """Fold merge-on-read deltas down: read + resolve every live bucket,
     rewrite copy-on-write. Amortized over many appends; idempotent on
@@ -298,7 +299,14 @@ def compact(
     into their key's materialized full row (per-column LWW). Safe under the
     SAME retention contract — per-column provenance below the watermark can
     no longer matter because nothing older can arrive. Bounds the retained
-    patch set for keys that receive patches forever without full rewrites."""
+    patch set for keys that receive patches forever without full rewrites.
+
+    ``zorder``: cluster the rewrite by a Morton interleave of these columns
+    instead of by ``conv_id`` alone (Delta/Iceberg OPTIMIZE ZORDER BY
+    analog) — written files then carry tight-ish footer min-max bounds on
+    EVERY listed column simultaneously, so the sidecar prunes point/range
+    reads on any of them (e.g. ``["conv_id", "_lsn"]`` serves both key
+    lookups and "changed since LSN" range scans from the same base)."""
     schema = table.schema()
     live_buckets = [int(b) for b in table.snapshot()["live"].keys()]
     if not live_buckets:
@@ -321,9 +329,15 @@ def compact(
 
     # range-cluster the rewrite by conv_id: tight per-file key min-max →
     # point lookups prune to ~one file per bucket in the compacted base
+    if zorder is not None:
+        from hierarchical_to_relational_spark.functions.zorder import zorder_expr
+
+        cluster = lambda out: zorder_expr(out, zorder)
+    else:
+        cluster = "conv_id"
     return _overwrite_resolved(
         spark, table, schema, live_buckets, batch_id, resolve_fn,
-        cluster_by="conv_id", kind="compact",
+        cluster_by=cluster, kind="compact",
     )
 
 

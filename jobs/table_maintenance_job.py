@@ -6,7 +6,11 @@ surface for every table-lifecycle operation the engine supports.
 
 Actions:
   compact    fold merge-on-read deltas copy-on-write (optionally expiring
-             tombstones below an LSN watermark)
+             tombstones below an LSN watermark; --zorder for multi-column
+             clustering)
+  changes    incremental CDC egress: net state diff since a snapshot
+             version (optionally written as parquet for a downstream
+             consumer)
   expire     expire old snapshots + collect orphan data dirs (bounded
              metadata for unbounded streams)
   rebucket   migrate to a new bucket count (full rewrite, new bucket spec)
@@ -39,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--batch-id", default=None)
     c.add_argument("--expire-tombstones-below", type=int, default=None)
     c.add_argument("--squash-patches-below", type=int, default=None)
+    c.add_argument("--zorder", default=None, metavar="COL[,COL...]",
+                   help="cluster the rewrite by a Morton interleave of these "
+                        "columns (e.g. conv_id,_lsn) instead of conv_id alone")
 
     e = sub.add_parser("expire")
     e.add_argument("--retain-last", type=int, default=100)
@@ -52,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
     ro = sub.add_parser("rollback")
     ro.add_argument("--to-version", type=int, required=True)
     ro.add_argument("--batch-id", default=None)
+
+    ch = sub.add_parser("changes")
+    ch.add_argument("--since-version", type=int, required=True)
+    ch.add_argument("--out", default=None,
+                    help="write the change rows as parquet here (otherwise "
+                         "only counts are printed)")
 
     sub.add_parser("history")
     sub.add_parser("status")
@@ -85,11 +98,29 @@ def main(argv: list[str] | None = None) -> int:
     else:
         spark = SparkSession.builder.appName(f"h2r-maintenance-{args.action}").getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
+        if args.action == "changes":
+            from hierarchical_to_relational_spark.operators.merge import changes_since
+
+            v2 = table.current_version()
+            df = changes_since(spark, table, args.since_version, version=v2)
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+                df = spark.read.parquet(args.out)  # count what was written
+            import pyspark.sql.functions as _F
+
+            counts = {r["change_op"]: r["n"] for r in
+                      df.groupBy("change_op").agg(_F.count("*").alias("n")).collect()}
+            out = {"since_version": args.since_version, "version": v2,
+                   "upserts": counts.get("u", 0), "deletes": counts.get("d", 0),
+                   "out": args.out}
+            print(json.dumps(out, default=str))
+            return 0
         if args.action == "compact":
             bid = args.batch_id or f"maintenance-compact-v{table.current_version()}"
             out = {"committed": compact(spark, table, batch_id=bid,
                                         expire_tombstones_below=args.expire_tombstones_below,
-                                        squash_patches_below=args.squash_patches_below),
+                                        squash_patches_below=args.squash_patches_below,
+                                        zorder=args.zorder.split(",") if args.zorder else None),
                    "batch_id": bid}
         elif args.action == "rebucket":
             bid = args.batch_id or f"maintenance-rebucket-{args.n_buckets}-v{table.current_version()}"

@@ -74,3 +74,30 @@ def test_all_actions(spark, tmp_path, capsys, table):
     want = datagen.expected_state(events)
     pd.testing.assert_frame_equal(got.astype({"turn_idx": "int64"}),
                                   want.astype({"turn_idx": "int64"}), check_dtype=False)
+
+
+def test_changes_and_zorder_actions(spark, tmp_path, capsys, table):
+    """changes: egress counts + parquet export equal the direct operator
+    output; compact --zorder commits and preserves state."""
+    import pandas as pd
+    from hierarchical_to_relational_spark.operators.merge import changes_since
+
+    root, _events = table
+    t = SnapshotTable(root)
+    before = read_transcripts(spark, t).orderBy("conv_id", "turn_idx").toPandas()
+
+    out_dir = str(tmp_path / "egress")
+    ch = _run(capsys, "--table", root, "changes", "--since-version", "1",
+              "--out", out_dir)
+    direct = changes_since(spark, t, 1)
+    assert ch["upserts"] == direct.where("change_op = 'u'").count()
+    assert ch["deletes"] == direct.where("change_op = 'd'").count()
+    exported = spark.read.parquet(out_dir)
+    assert exported.count() == ch["upserts"] + ch["deletes"]
+
+    z = _run(capsys, "--table", root, "compact", "--zorder", "conv_id,_lsn")
+    assert z["committed"] is True
+    after = read_transcripts(spark, t).orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )

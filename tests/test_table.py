@@ -584,3 +584,105 @@ def test_pruning_superset_without_sidecar(spark, tmp_path):
     t._file_stats_cache.clear()
     pruned = t.read(spark, key_range=("cA", "cA"))
     assert set(pruned.inputFiles()) == set(t.read(spark).inputFiles())
+
+
+def test_bloom_filters_on_delta_appends(spark, tmp_path, monkeypatch):
+    """Hash-ordered delta appends carry parquet bloom filters on conv_id —
+    the row-group-skip complement to min-max pruning (which cannot help on
+    hash-ordered files). parquet-mr materializes the bloom only when the
+    dictionary overflows, so the probe uses enough distinct keys to force
+    fallback; the bloom's presence shows up as extra file bytes for the
+    IDENTICAL data. Range-clustered rewrites skip the bloom (tight min-max
+    bounds already give file-level pruning)."""
+    import hierarchical_to_relational_spark.table.snapshot_table as st
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("_lsn", T.LongType(), False),
+    ])
+    # one bucket, 150k distinct 45-char keys → dictionary page overflow
+    df = spark.range(150_000).select(
+        F.lit(0).alias("_bucket"),
+        F.concat(F.lit("conversation-"), F.md5(F.col("id").cast("string"))).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("id").alias("_lsn"),
+    )
+
+    def commit_bytes(root, opts):
+        monkeypatch.setattr(st, "PARQUET_BLOOM_OPTS", opts)
+        t = st.SnapshotTable.create(str(root), schema, n_buckets=1)
+        t.commit_append(df, batch_id="b0")
+        d = t.snapshot()["live"]["0"][0]
+        import glob as g, os as o
+        return sum(o.path.getsize(p)
+                   for p in g.glob(o.path.join(t.root, d, "_bucket=*", "*.parquet")))
+
+    with_bloom = commit_bytes(tmp_path / "tb", dict(st.PARQUET_BLOOM_OPTS))
+    without = commit_bytes(tmp_path / "tp", {})
+    assert with_bloom > without + 50_000, (with_bloom, without)
+
+    # lookups through bloom-carrying files stay correct
+    t = st.SnapshotTable(str(tmp_path / "tb"))
+    key = "conversation-" + __import__("hashlib").md5(b"77").hexdigest()
+    got = t.read(spark).where(F.col("conv_id") == key).collect()
+    assert [r["_lsn"] for r in got] == [77]
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """compact(zorder=["conv_id", "_lsn"]) clusters the base so BOTH a
+    conv_id point lookup AND an _lsn range read prune files via the
+    min-max sidecar — single-column clustering can only serve one.
+    State is unchanged by the z-ordered rewrite."""
+    from hierarchical_to_relational_spark.operators.merge import compact, read_transcripts
+    from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=1, text_mode="none",
+                       compact_every=10_000)
+    # 400 convs; lsn deliberately NOT correlated with conv order
+    rows = [((i * 37) % 400 + 1000, "insert", f"c{i:04d}", [(0, f"t{i}")])
+            for i in range(400)]
+    pipe.apply_batch(_envs(spark, rows), "b0")
+    before = {(r["conv_id"], r["text"]) for r in read_transcripts(spark, pipe.table).collect()}
+    # AQE would coalesce this tiny rewrite into one file and leave nothing
+    # to prune; at real scale each range partition is a full-sized file
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        assert compact(spark, pipe.table, batch_id="z0", zorder=["conv_id", "_lsn"])
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    t = pipe.table
+    after = {(r["conv_id"], r["text"]) for r in read_transcripts(spark, t).collect()}
+    assert after == before
+
+    full = set(t.read(spark).inputFiles())
+    assert len(full) >= 4, "need multiple files for pruning to be observable"
+    by_key = set(t.read(spark, key_range=("c0100", "c0100")).inputFiles())
+    by_lsn = set(t.read(spark, lsn_range=(1350, None)).inputFiles())
+    assert by_key < full, (len(by_key), len(full))
+    assert by_lsn < full, (len(by_lsn), len(full))
+    # pruned reads stay supersets of the exact answers
+    assert {r["conv_id"] for r in t.read(spark, key_range=("c0100", "c0100"))
+            .where(F.col("conv_id") == "c0100").collect()} == {"c0100"}
+    got_lsn = {r["conv_id"] for r in t.read(spark, lsn_range=(1350, None))
+               .where(F.col("_lsn") >= 1350).collect()}
+    want_lsn = {f"c{i:04d}" for i in range(400) if (i * 37) % 400 + 1000 >= 1350}
+    assert got_lsn == want_lsn
+
+
+def test_zorder_expr_interleaves(spark):
+    """z-value sanity: for two uniform int columns the interleave maps the
+    (x, y) grid so that z-adjacent ranges form small rectangles — check
+    the corner ordering property z(0,0) < z(max,max) and that both
+    columns influence the value."""
+    from hierarchical_to_relational_spark.functions.zorder import zorder_expr
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    z = df.select("x", "y", zorder_expr(df, ["x", "y"]).alias("z")).collect()
+    zmap = {(r["x"], r["y"]): r["z"] for r in z}
+    assert zmap[(0, 0)] == min(zmap.values())
+    assert zmap[(15, 15)] == max(zmap.values())
+    assert zmap[(1, 0)] != zmap[(0, 1)]  # both dimensions contribute
