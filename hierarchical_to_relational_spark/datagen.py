@@ -15,6 +15,9 @@ Event semantics:
 - ``delete``: tombstone the whole conversation — every turn whose effective
   lsn is below the delete's lsn is removed; turns written with a higher lsn
   (re-insert after delete) survive.
+- ``patch`` (``patch_rate > 0``): partial-column upsert — each turn sets
+  only its non-null columns, null means "keep the previous value"; a later
+  full row resets every column (merge-patch, operators.merge.resolve).
 """
 
 from __future__ import annotations
@@ -46,6 +49,7 @@ class BinlogSpec:
     zipf_a: float = 1.3          # conv popularity skew (lower = more skew)
     delete_rate: float = 0.03
     update_rate: float = 0.45    # rest are inserts
+    patch_rate: float = 0.0      # partial-column upserts (merge-patch)
     dup_rate: float = 0.05       # fraction of events re-emitted verbatim
     shuffle: bool = True         # out-of-order arrival
     evolve_after: int | None = None  # event index after which turns carry 'model'
@@ -64,7 +68,11 @@ def generate_events(spec: BinlogSpec) -> pd.DataFrame:
     conv_ranks = (rng.zipf(spec.zipf_a, size=n) - 1) % spec.n_convs
     conv_ids = np.array([f"c{r:05d}" for r in conv_ranks])
     u = rng.random(n)
-    ops = np.where(u < spec.delete_rate, "delete", np.where(u < spec.delete_rate + spec.update_rate, "update", "insert"))
+    b1 = spec.delete_rate
+    b2 = b1 + spec.update_rate
+    b3 = b2 + spec.patch_rate
+    ops = np.where(u < b1, "delete",
+                   np.where(u < b2, "update", np.where(u < b3, "patch", "insert")))
     lsns = np.arange(1, n + 1, dtype=np.int64)
     # commit_ts mostly follows lsn order but with jitter (ties + small inversions)
     commit_ts = EPOCH + pd.to_timedelta(lsns * 1000 + rng.integers(-500, 500, size=n), unit="ms")
@@ -81,7 +89,7 @@ def generate_events(spec: BinlogSpec) -> pd.DataFrame:
             start = next_turn[cid]
             next_turn[cid] = start + k
             idxs = list(range(start, start + k))
-        else:  # update: rewrite k existing turn slots
+        else:  # update/patch: rewrite k existing turn slots
             hi = max(next_turn[cid], 1)
             idxs = sorted(set(int(x) for x in rng.integers(0, hi, size=k)))
         texts = _texts(rng, len(idxs))
@@ -96,6 +104,15 @@ def generate_events(spec: BinlogSpec) -> pd.DataFrame:
             }
             if spec.evolve_after is not None and i >= spec.evolve_after:
                 t["model"] = f"m{int(rng.integers(0, 3))}"
+            if ops[i] == "patch":
+                # partial-column upsert: null = keep previous. Each payload
+                # column is independently unset w.p. 1/2 (text kept set so
+                # every patch visibly changes something).
+                for col in ("role", "tool", "ts") + (
+                    ("model",) if "model" in t else ()
+                ):
+                    if rng.random() < 0.5:
+                        t[col] = None
             turns.append(t)
         turns_col.append(turns)
 
@@ -118,10 +135,12 @@ def arrival_order(events: pd.DataFrame, spec: BinlogSpec) -> pd.DataFrame:
 def _turn_type(evolved: bool) -> pa.StructType:
     fields = [
         pa.field("turn_idx", pa.int32(), nullable=False),
-        pa.field("role", pa.string(), nullable=False),
-        pa.field("text", pa.string(), nullable=False),
+        # payload columns are nullable: a patch turn leaves unset columns
+        # null ("keep previous value") — matches the engine envelope schema
+        pa.field("role", pa.string(), nullable=True),
+        pa.field("text", pa.string(), nullable=True),
         pa.field("tool", pa.string(), nullable=True),
-        pa.field("ts", pa.timestamp("us"), nullable=False),
+        pa.field("ts", pa.timestamp("us"), nullable=True),
     ]
     if evolved:
         fields.append(pa.field("model", pa.string(), nullable=True))
@@ -328,35 +347,57 @@ def generate_binlog_fast(spec: BinlogSpec, out_dir: str, n_segments: int = 32) -
 def expected_state(events: pd.DataFrame) -> pd.DataFrame:
     """Pure-pandas replay oracle → final transcripts table, sorted by
     (conv_id, turn_idx). Independent of the Spark engine (set-based LWW +
-    tombstone-watermark semantics)."""
+    tombstone-watermark + merge-patch per-column-fold semantics)."""
     deletes = events[events["op"] == "delete"].groupby("conv_id")["lsn"].max()
     rows = []
     ups = events[events["op"] != "delete"]
+    payload_cols = ["role", "text", "tool", "ts"]
     for _, ev in ups.iterrows():
         for t in ev["turns"]:
             rows.append(
                 {
                     "conv_id": ev["conv_id"],
                     "turn_idx": t["turn_idx"],
-                    "role": t["role"],
-                    "text": t["text"],
-                    "tool": t["tool"],
-                    "ts": t["ts"],
+                    **{c: t.get(c) for c in payload_cols},
                     "lsn": ev["lsn"],
                     "commit_ts": ev["commit_ts"],
+                    "op": "p" if ev["op"] == "patch" else "u",
                 }
             )
     if not rows:
-        return pd.DataFrame(columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        return pd.DataFrame(columns=["conv_id", "turn_idx"] + payload_cols)
     df = pd.DataFrame(rows)
-    # whole-row last-write-wins (groupby().last() would skip nulls per column)
-    df = df.sort_values(["lsn", "commit_ts"]).drop_duplicates(
-        subset=["conv_id", "turn_idx"], keep="last"
-    )
     df["del_lsn"] = df["conv_id"].map(deletes).fillna(-1).astype(np.int64)
     df = df[df["lsn"] > df["del_lsn"]]
+    if (df["op"] == "p").any():
+        # merge-patch fold: latest full row resets every column; each
+        # strictly-newer patch overwrites only its non-null columns,
+        # applied in (lsn, commit_ts) order
+        out_rows = []
+        for (cid, tix), g in df.groupby(["conv_id", "turn_idx"], sort=False):
+            g = g.sort_values(["lsn", "commit_ts"])
+            fulls = g[g["op"] == "u"]
+            if len(fulls):
+                base = fulls.iloc[-1]
+                vals = {c: base[c] for c in payload_cols}
+                newer = g[(g["op"] == "p") & (g["lsn"] > base["lsn"])]
+            else:
+                vals = {c: None for c in payload_cols}
+                newer = g[g["op"] == "p"]
+            for _, p in newer.iterrows():
+                for c in payload_cols:
+                    if pd.notna(p[c]):  # None and NaT both mean "unset"
+                        vals[c] = p[c]
+            out_rows.append({"conv_id": cid, "turn_idx": tix, **vals})
+        df = pd.DataFrame(out_rows)
+    else:
+        # whole-row last-write-wins fast path (groupby().last() would skip
+        # nulls per column)
+        df = df.sort_values(["lsn", "commit_ts"]).drop_duplicates(
+            subset=["conv_id", "turn_idx"], keep="last"
+        )
     return (
-        df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        df[["conv_id", "turn_idx"] + payload_cols]
         .sort_values(["conv_id", "turn_idx"])
         .reset_index(drop=True)
     )

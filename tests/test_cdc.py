@@ -608,3 +608,28 @@ def test_changes_since_cow_overwrite_supersets(spark, tmp_path):
     got = _apply_diff(state1, changes)
     want = _final_state(spark, pipe.table)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_random_patch_stream_matches_oracle(spark, tmp_path):
+    """Randomized merge-patch gate: a zipf-skewed, shuffled, duplicated
+    stream with 25% patch events replayed through the engine equals the
+    independent pandas per-column-fold oracle — and a second replay under
+    a different batching converges to the same state."""
+    spec = datagen.BinlogSpec(n_events=300, n_convs=20, seed=23, patch_rate=0.25)
+    events = datagen.generate_events(spec)
+    assert (events["op"] == "patch").sum() > 30
+    d = str(tmp_path / "bl")
+    paths = datagen.write_binlog(datagen.arrival_order(events, spec), d, n_segments=5)
+
+    pipe = CdcPipeline(spark, d, str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=8, text_mode="none")
+    for i, p in enumerate(paths):
+        pipe.replay_batch(p, f"seg-{i}")
+    _assert_matches_oracle(spark, pipe, events)
+
+    pipe2 = CdcPipeline(spark, d, str(tmp_path / "t2"), str(tmp_path / "ck2"),
+                        n_buckets=8, text_mode="none")
+    rev = list(reversed(paths))
+    for i in range(0, len(rev), 2):
+        pipe2.replay_batch(rev[i:i + 2], f"pair-{i}")
+    _assert_matches_oracle(spark, pipe2, events)

@@ -147,3 +147,69 @@ def test_schema_evolution_across_stream_restart(spark, tmp_path):
     assert pipe2.table.current_version() > v_after_old
     n_old_convs = out.where(F.col("model").isNull()).select("conv_id").distinct().count()
     assert n_old_convs > 0
+
+
+def test_live_tail_with_patch_events_and_egress(spark, tmp_path):
+    """Merge-patch through the live tail: a stream carrying partial-column
+    patch events (null = keep previous) lands in waves while the query
+    runs; final state equals the pandas per-column-fold oracle. A
+    downstream consumer polls changes_since mid-stream and applying its
+    polls to the checkpointed state reproduces the final state (streaming
+    egress end-to-end)."""
+    from hierarchical_to_relational_spark.operators.merge import changes_since
+
+    spec = datagen.BinlogSpec(n_events=300, n_convs=15, seed=41, patch_rate=0.3)
+    events = datagen.generate_events(spec)
+    stream_rows = datagen.arrival_order(events, spec)
+    binlog = str(tmp_path / "binlog")
+    datagen.write_binlog(stream_rows.iloc[:150], binlog, n_segments=2)
+
+    pipe = CdcPipeline(spark, binlog, str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=4, text_mode="none")
+    query = pipe.run_stream(max_files_per_trigger=2, await_termination=False,
+                            processing_time="1 second")
+    try:
+        assert _wait_for(lambda: pipe.lineage.applied_lsn_watermark() is not None)
+        # consumer checkpoint mid-stream
+        v_ckpt = pipe.table.current_version()
+        state_ckpt = (read_transcripts(spark, pipe.table, version=v_ckpt)
+                      .orderBy("conv_id", "turn_idx").toPandas())
+        stage = str(tmp_path / "stage")
+        for p in datagen.write_binlog(stream_rows.iloc[150:], stage,
+                                      n_segments=2, start_segment=2):
+            os.rename(p, os.path.join(binlog, os.path.basename(p)))
+        target = int(stream_rows["lsn"].max())
+        assert _wait_for(lambda: pipe.lineage.applied_lsn_watermark() == target, 120)
+        last, stable_since = None, time.time()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            cur = pipe.lineage.monitoring_summary()["batches_committed"]
+            if cur != last:
+                last, stable_since = cur, time.time()
+            elif time.time() - stable_since > 4:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+
+    got = (read_transcripts(spark, pipe.table)
+           .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True))
+    want = datagen.expected_state(events)
+    pd.testing.assert_frame_equal(got.astype({"turn_idx": "int64"}),
+                                  want.astype({"turn_idx": "int64"}), check_dtype=False)
+
+    # egress: one poll covering everything after the consumer checkpoint
+    changes = changes_since(spark, pipe.table, v_ckpt).collect()
+    dead = {r["conv_id"] for r in changes if r["change_op"] == "d"}
+    ups = {(r["conv_id"], r["turn_idx"]): r for r in changes if r["change_op"] == "u"}
+    state = {(r["conv_id"], r["turn_idx"]): r for _, r in state_ckpt.iterrows()
+             if r["conv_id"] not in dead}
+    state.update(ups)
+    got_keys = {
+        (k, int(t)) for (k, t) in state.keys()
+    }
+    want_keys = {(r["conv_id"], int(r["turn_idx"])) for _, r in want.iterrows()}
+    assert got_keys == want_keys
+    for (k, t), r in state.items():
+        w = want[(want["conv_id"] == k) & (want["turn_idx"] == t)].iloc[0]
+        assert r["text"] == w["text"], (k, t)
