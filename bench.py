@@ -126,7 +126,32 @@ def bench_cdc(spark, n_events: int, n_batches: int, work_dir: str) -> dict:
     for b in range(0, len(segs), per):
         pipe.replay_batch(segs[b : b + per], f"bench-{b}")
     dt = time.monotonic() - t0
-    return {"cdc_events": physical, "cdc_seconds": round(dt, 3), "cdc_events_per_sec": round(physical / dt, 1)}
+
+    # point-lookup latency on the replayed table (bucket pruning + file
+    # min-max sidecar + bloom row-group skipping): compact to a
+    # range-clustered base, stack one delta on top, then time
+    # lookup_conversation — the r3 headline scale feature. min-of-2.
+    from pyspark.sql import functions as F
+    from hierarchical_to_relational_spark.operators.merge import (
+        compact, lookup_conversation,
+    )
+
+    compact(spark, pipe.table, batch_id="bench-compact")
+    pipe.replay_batch(segs[:1], "bench-post-compact-delta")
+    conv = pipe.table.read(spark, buckets=[0]).where(
+        F.col("conv_id").isNotNull()
+    ).select("conv_id").first()[0]
+    lk = None
+    for _ in range(2):
+        t1 = time.monotonic()
+        lookup_conversation(spark, pipe.table, conv).collect()
+        lk = min(lk or 9e9, time.monotonic() - t1)
+    return {
+        "cdc_events": physical,
+        "cdc_seconds": round(dt, 3),
+        "cdc_events_per_sec": round(physical / dt, 1),
+        "cdc_point_lookup_seconds": round(lk, 3),
+    }
 
 
 def main() -> None:

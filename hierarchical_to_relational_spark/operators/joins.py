@@ -177,3 +177,26 @@ def interval_join(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )
     return joined.drop("_bkt")
+
+
+def read_with_stats(
+    spark,
+    table,
+    broadcast_threshold_bytes: int = 32 * 1024 * 1024,
+    version: int | None = None,
+) -> DataFrame:
+    """Statistics-driven join input: read a SnapshotTable and attach a
+    broadcast hint when the MANIFEST says its live bytes fit under the
+    threshold. Spark's own size estimation sees only the scan's file sizes
+    AFTER filters are planned and defaults to sort-merge for multi-file
+    reads near the boundary; the table's commit_bytes stats are exact,
+    cost nothing (no filesystem listing), and are known before planning —
+    the same statistics-feed-the-optimizer pattern as Iceberg's
+    table-level stats. Joining a dimension-sized table read this way
+    against a fact stream plans a BroadcastHashJoin with zero exchange on
+    the dimension side; a large table passes through unhinted and lets
+    AQE pick the strategy."""
+    df = table.read(spark, version=version)
+    if table.total_bytes() <= broadcast_threshold_bytes:
+        return F.broadcast(df)
+    return df

@@ -773,6 +773,29 @@ class SnapshotTable:
             worst = max(worst, total)
         return worst
 
+    def total_bytes(self) -> int:
+        """Live table size from the manifest's commit_bytes stats (no
+        filesystem listing; filesystem fallback only for pre-stats dirs) —
+        the input to statistics-driven join planning
+        (operators.joins.read_with_stats)."""
+        snap = self.snapshot()
+        cb = snap.get("commit_bytes", {})
+        total = 0
+        seen: set[tuple[str, str]] = set()
+        for b, dirs in snap["live"].items():
+            for d in dirs:
+                if (d, b) in seen:
+                    continue
+                seen.add((d, b))
+                if d in cb and b in cb[d]:
+                    total += cb[d][b]
+                else:
+                    total += sum(
+                        os.path.getsize(f)
+                        for f in glob.glob(os.path.join(self.root, d, f"_bucket={b}", "*.parquet"))
+                    )
+        return total
+
     def history(self) -> list[dict]:
         """Snapshot log audit view (Iceberg ``table.history()``): one entry
         per retained version — version, batch_id, n_buckets, live dir count,

@@ -125,3 +125,45 @@ def test_asof_map_payload_requires_tiebreak(spark):
                         tiebreak_cols=["seq"])
         row = out.collect()[0]
         assert row["attrs_asof"] == {"a": "new"} and row["seq_asof"] == 3
+
+
+def test_read_with_stats_broadcast_hint(spark, tmp_path):
+    """A dimension-sized SnapshotTable read via read_with_stats plans a
+    broadcast join (manifest-bytes decision, no filesystem listing); a
+    tiny threshold leaves the join unhinted."""
+    from pyspark.sql import functions as F, types as T
+    from hierarchical_to_relational_spark.operators.joins import read_with_stats
+    from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+    ])
+    t = SnapshotTable.create(str(tmp_path / "dim"), schema, n_buckets=2)
+    dim = spark.range(500).select(
+        (F.pmod(F.xxhash64(F.concat(F.lit("c"), F.col("id"))), F.lit(2))).cast("int").alias("_bucket"),
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.col("id").alias("v"),
+    )
+    t.commit_append(dim, batch_id="b0")
+    assert 0 < t.total_bytes() < 32 * 1024 * 1024
+
+    fact = spark.range(10_000).select(
+        F.concat(F.lit("c"), F.col("id") % 500).alias("conv_id"),
+        F.col("id").alias("x"),
+    )
+    # disable Spark's own size-estimate broadcasting so the plans show the
+    # MANIFEST-driven decision, not the optimizer's file-size guess
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = fact.join(read_with_stats(spark, t), "conv_id")
+        assert "BroadcastHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()
+
+        unhinted = fact.join(
+            read_with_stats(spark, t, broadcast_threshold_bytes=1), "conv_id"
+        )
+        plan = unhinted._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert hinted.count() == unhinted.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
