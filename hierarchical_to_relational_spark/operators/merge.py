@@ -285,10 +285,18 @@ def compact(
     expire_tombstones_below: int | None = None,
     squash_patches_below: int | None = None,
     zorder: list[str] | None = None,
+    buckets: list[int] | None = None,
 ) -> bool:
-    """Fold merge-on-read deltas down: read + resolve every live bucket,
+    """Fold merge-on-read deltas down: read + resolve live buckets,
     rewrite copy-on-write. Amortized over many appends; idempotent on
     batch_id like any commit.
+
+    ``buckets`` restricts the rewrite to a subset — PARTIAL compaction,
+    the shape that matters at scale: zipf-hot buckets stack deltas far
+    faster than cold ones, and folding every bucket on every trigger
+    would be a full-table rewrite. ``compact_pressured`` picks the subset
+    from manifest stats; default None folds everything (maintenance-job
+    full compaction).
 
     ``expire_tombstones_below``: GC tombstone rows whose delete LSN is below
     this watermark — safe once the source guarantees no event with a lower
@@ -309,6 +317,8 @@ def compact(
     lookups and "changed since LSN" range scans from the same base)."""
     schema = table.schema()
     live_buckets = [int(b) for b in table.snapshot()["live"].keys()]
+    if buckets is not None:
+        live_buckets = sorted(set(buckets) & set(live_buckets))
     if not live_buckets:
         return False
 
@@ -339,6 +349,32 @@ def compact(
         spark, table, schema, live_buckets, batch_id, resolve_fn,
         cluster_by=cluster, kind="compact",
     )
+
+
+def compact_pressured(
+    spark: SparkSession,
+    table: SnapshotTable,
+    batch_id: str,
+    depth_threshold: int,
+    bytes_threshold: int | None = None,
+    **compact_kwargs,
+) -> list[int]:
+    """Partial compaction driven by manifest pressure stats: fold ONLY the
+    buckets whose delta stack is at least ``depth_threshold`` dirs deep
+    (or ``bytes_threshold`` delta bytes heavy). Returns the buckets
+    rewritten ([] = nothing exceeded a threshold). O(pressured buckets)
+    rewrite cost instead of O(table) — on a zipf-skewed stream the hot
+    buckets fold often while cold buckets keep shallow stacks untouched."""
+    stats = table.delta_stats()
+    pressured = sorted(
+        b for b, s in stats.items()
+        if s["depth"] >= depth_threshold
+        or (bytes_threshold is not None and s["delta_bytes"] >= bytes_threshold)
+    )
+    if not pressured:
+        return []
+    compact(spark, table, batch_id=batch_id, buckets=pressured, **compact_kwargs)
+    return pressured
 
 
 def evolve_buckets(

@@ -24,7 +24,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, types as T
 
 from hierarchical_to_relational_spark.lineage import LineageStore
-from hierarchical_to_relational_spark.operators.merge import apply_cdc_batch, compact, table_schema_for
+from hierarchical_to_relational_spark.operators.merge import (
+    apply_cdc_batch,
+    compact_pressured,
+    table_schema_for,
+)
 from hierarchical_to_relational_spark.operators.normalize import normalize_envelopes, turn_fields
 from hierarchical_to_relational_spark.sources import binlog as binlog_source
 from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
@@ -119,17 +123,19 @@ class CdcPipeline:
             mode=self.mode, collect_stats=self.collect_stats,
         )
         # merge-on-read: fold deltas down once they stack too deep (count
-        # trigger) or grow too heavy (size trigger — manifest byte stats,
-        # no filesystem listing)
-        if self.mode == "mor" and (
-            self.table.delta_depth() >= self.compact_every
-            or (
-                self.compact_min_bytes is not None
-                and self.table.delta_bytes() >= self.compact_min_bytes
+        # trigger) or grow too heavy (size trigger) — PARTIAL: only the
+        # buckets over a threshold rewrite (manifest stats pick them, no
+        # filesystem listing). A zipf-hot bucket folds often; cold buckets
+        # with shallow stacks are never rewritten along for the ride.
+        if self.mode == "mor":
+            folded = compact_pressured(
+                self.spark, self.table, batch_id=f"{batch_id}::compact",
+                depth_threshold=self.compact_every,
+                bytes_threshold=self.compact_min_bytes,
             )
-        ):
-            compact(self.spark, self.table, batch_id=f"{batch_id}::compact")
-            metrics["compacted"] = True
+            if folded:
+                metrics["compacted"] = True
+                metrics["compacted_buckets"] = folded
         # unbounded-stream hygiene: expire old snapshots + orphan data dirs
         # every N applied batches so _snapshots/ and the id set stay bounded
         self._batches_applied += 1

@@ -751,6 +751,30 @@ class SnapshotTable:
         live = self.snapshot()["live"]
         return max((len(ds) for ds in live.values()), default=0)
 
+    def delta_stats(self) -> dict[int, dict]:
+        """Per-bucket compaction pressure from the manifest alone:
+        ``{bucket: {"depth": dirs stacked, "delta_bytes": bytes beyond the
+        base dir}}`` — what partial compaction uses to pick ONLY the
+        buckets worth rewriting (zipf-hot buckets stack deltas far faster
+        than cold ones; folding everything on every trigger would be a
+        full-table rewrite). Served from commit_bytes stats; filesystem
+        fallback only for pre-stats dirs."""
+        snap = self.snapshot()
+        cb = snap.get("commit_bytes", {})
+        out: dict[int, dict] = {}
+        for b, dirs in snap["live"].items():
+            total = 0
+            for d in dirs[1:]:
+                if d in cb and b in cb[d]:
+                    total += cb[d][b]
+                else:
+                    total += sum(
+                        os.path.getsize(f)
+                        for f in glob.glob(os.path.join(self.root, d, f"_bucket={b}", "*.parquet"))
+                    )
+            out[int(b)] = {"depth": len(dirs), "delta_bytes": total}
+        return out
+
     def delta_bytes(self) -> int:
         """Max per-bucket bytes of stacked delta dirs (every dir beyond the
         base) — the size-based compaction trigger. Served from the

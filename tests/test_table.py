@@ -686,3 +686,53 @@ def test_zorder_expr_interleaves(spark):
     assert zmap[(0, 0)] == min(zmap.values())
     assert zmap[(15, 15)] == max(zmap.values())
     assert zmap[(1, 0)] != zmap[(0, 1)]  # both dimensions contribute
+
+
+def test_partial_compaction_folds_only_pressured_buckets(spark, tmp_path):
+    """Partial compaction (the per-bucket trigger the pipeline uses):
+    only buckets whose delta stack crosses the threshold rewrite; cold
+    buckets keep their shallow stacks untouched (O(pressured) rewrite,
+    not O(table)); state is preserved and the compaction window emits no
+    incremental changes."""
+    from hierarchical_to_relational_spark.operators.merge import (
+        changes_since, compact_pressured, read_transcripts,
+    )
+    from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=8, text_mode="none",
+                       compact_every=10_000)
+    t = pipe.table
+    bucket_of = t.bucket_col()
+    # find two conv ids living in different buckets
+    probe = spark.createDataFrame(
+        [(f"c{i}",) for i in range(50)], "conv_id string"
+    ).select("conv_id", bucket_of(F.col("conv_id")).alias("b")).collect()
+    by_bucket: dict[int, str] = {}
+    for r in probe:
+        by_bucket.setdefault(r["b"], r["conv_id"])
+    (hot_b, hot_c), (cold_b, cold_c) = list(by_bucket.items())[:2]
+
+    # hot conv: 5 delta batches; cold conv: 2
+    for i in range(5):
+        pipe.apply_batch(_envs(spark, [(100 + i, "insert", hot_c, [(i, f"h{i}")])]), f"h{i}")
+    for i in range(2):
+        pipe.apply_batch(_envs(spark, [(200 + i, "insert", cold_c, [(i, f"k{i}")])]), f"k{i}")
+    before = {(r["conv_id"], r["turn_idx"], r["text"])
+              for r in read_transcripts(spark, t).collect()}
+    v1 = t.current_version()
+
+    folded = compact_pressured(spark, t, batch_id="pc0", depth_threshold=4)
+    assert folded == [hot_b]
+    stats = t.delta_stats()
+    assert stats[hot_b]["depth"] == 1          # folded to a single base
+    assert stats[cold_b]["depth"] == 2         # untouched
+    after = {(r["conv_id"], r["turn_idx"], r["text"])
+             for r in read_transcripts(spark, t).collect()}
+    assert after == before
+    assert changes_since(spark, t, v1).count() == 0  # pure rewrite window
+
+    # nothing pressured → no commit at all
+    v2 = t.current_version()
+    assert compact_pressured(spark, t, batch_id="pc1", depth_threshold=4) == []
+    assert t.current_version() == v2
