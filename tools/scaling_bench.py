@@ -142,6 +142,26 @@ delivered.
 not the engine: the control shows the machine cannot deliver 4× the compute
 of 8 pinned cores at any point, so no job can demonstrate 8→32 scaling here.
 
+**Batch sizing (round-2 measurement):** Spark charges ~1.1 s of
+driver-side constant per micro-batch apply regardless of batch size
+(Catalyst + job scheduling + Python-UDF stage dispatch + commit IO —
+measured by applying near-empty batches on a warmed JVM). With 8
+micro-batches of 262k events that constant was ~50% of each 8-core batch
+and capped raw 2→8 efficiency at ~0.63 even when the host cooperated; at
+525k-event batches it is ~15%, at the {events//batches//1000}k-event batches used here
+smaller still, and at production batch sizes (10^7+ events per trigger
+for a 10^10-event stream) it vanishes into the noise. The bench warms up with two
+full-sized batches — timed batches previously started 2-3× slower than
+steady state while the JIT compiled.
+
+**Round history:** round 1 recorded raw 0.843 / normalized 0.915 (8
+batches, quieter host). Round 2 under heavier steal: raw 0.55-0.63 /
+normalized 0.67-0.87 at 8 batches, then raw 0.754 / normalized 0.994 at
+4×525k with steady-state warmup — the engine scales at essentially the
+efficiency the hardware delivers; the residual raw gap tracks the
+per-batch Spark constant and host steal, not the engine's shuffle/merge
+design.
+
 Why the design scales on a real cluster: one shuffle per micro-batch on the
 fine-grained LWW key (map-side combine collapses hot conversations before
 the exchange), salted bucket writes (a >15%-hot bucket is spread over 8
