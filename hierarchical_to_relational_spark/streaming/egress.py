@@ -1,0 +1,133 @@
+"""Continuous CDC egress: a crash-resumable consumer loop over
+``operators.merge.changes_since``.
+
+``ChangeFollower`` is the downstream half of the CDC contract the ingest
+side provides: it polls the table's commit log, emits each non-empty
+window's net diff (materialized 'u' rows + conversation 'd' rows), and
+persists its cursor — the last consumed snapshot VERSION — through a tiny
+JSON file written with the same tmp+rename atomicity the table uses. A
+crashed/restarted follower resumes from the cursor and re-polls the same
+window; emissions are net state (idempotent upserts + re-droppable
+deletes), so downstream replays converge exactly like the ingest side's
+batch-id commits.
+
+With ``out_dir`` set, every poll is exported as one parquet directory
+``inc-<from>-<to>/`` (written atomically: stage + rename). That directory
+stream IS a Structured Streaming source — a downstream pipeline tails it
+with ``spark.readStream.schema(...).parquet(out_dir)`` and gets the
+table's changelog with file-granularity exactly-once, composing the
+engine's egress with vanilla Spark streaming.
+
+A rollback in a polled window raises ``ValueError`` from changes_since
+(rolled-back rows vanish without tombstones): the follower surfaces it
+as ``needs_resync`` and stops — the consumer must rebuild from a full
+read and reset the cursor, the same restriction Iceberg places on
+incremental reads across non-append history rewrites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+
+from hierarchical_to_relational_spark.operators.merge import changes_since
+from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
+
+
+class ChangeFollower:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: SnapshotTable,
+        cursor_path: str,
+        out_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.cursor_path = cursor_path
+        self.out_dir = out_dir
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+
+    # -- cursor ----------------------------------------------------------
+    def cursor(self) -> int | None:
+        try:
+            with open(self.cursor_path) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            return None
+
+    def _write_cursor(self, version: int) -> None:
+        tmp = f"{self.cursor_path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.cursor_path)
+
+    def reset_cursor(self, version: int) -> None:
+        """After a full resync: pin the cursor at the version the resync
+        read (subsequent polls emit only what lands after it)."""
+        self._write_cursor(version)
+
+    # -- polling ---------------------------------------------------------
+    def poll_once(self) -> dict:
+        """One poll: diff (cursor, current], export/emit, advance cursor.
+        Returns {from, to, upserts, deletes, out_path, needs_resync}.
+        First poll with no cursor emits nothing and pins the cursor at the
+        current version (a brand-new consumer starts from a full read it
+        performs itself — emitting the whole table as a 'diff' would
+        duplicate that read)."""
+        v_now = self.table.current_version()
+        since = self.cursor()
+        if since is None:
+            self._write_cursor(v_now)
+            return {"from": None, "to": v_now, "upserts": 0, "deletes": 0,
+                    "out_path": None, "needs_resync": False}
+        if v_now <= since:
+            return {"from": since, "to": since, "upserts": 0, "deletes": 0,
+                    "out_path": None, "needs_resync": False}
+        try:
+            df = changes_since(self.spark, self.table, since, version=v_now)
+        except ValueError:
+            return {"from": since, "to": v_now, "upserts": 0, "deletes": 0,
+                    "out_path": None, "needs_resync": True}
+        out_path = None
+        if self.out_dir:
+            final = os.path.join(self.out_dir, f"inc-{since:010d}-{v_now:010d}")
+            stage = os.path.join(self.out_dir, f"_stage-{uuid.uuid4().hex}")
+            df.write.mode("overwrite").parquet(stage)
+            os.replace(stage, final)  # atomic: readers see whole dirs only
+            df = self.spark.read.parquet(final)
+            out_path = final
+        ops = {r["change_op"]: r["n"] for r in
+               df.groupBy("change_op").count().withColumnRenamed("count", "n").collect()}
+        self._write_cursor(v_now)
+        return {"from": since, "to": v_now,
+                "upserts": ops.get("u", 0), "deletes": ops.get("d", 0),
+                "out_path": out_path, "needs_resync": False}
+
+    def run(
+        self,
+        poll_interval_s: float = 5.0,
+        max_polls: int | None = None,
+        on_changes=None,
+    ) -> list[dict]:
+        """Follow loop: poll every ``poll_interval_s``; call
+        ``on_changes(poll_result)`` for every non-empty window; stop after
+        ``max_polls`` (None = until needs_resync). Returns the polls."""
+        polls: list[dict] = []
+        while max_polls is None or len(polls) < max_polls:
+            res = self.poll_once()
+            polls.append(res)
+            if res["needs_resync"]:
+                break
+            if on_changes is not None and (res["upserts"] or res["deletes"]):
+                on_changes(res)
+            if max_polls is None or len(polls) < max_polls:
+                time.sleep(poll_interval_s)
+        return polls

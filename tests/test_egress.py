@@ -1,0 +1,110 @@
+"""ChangeFollower: crash-resumable continuous CDC egress over
+changes_since, with parquet increment export a downstream Structured
+Streaming job can tail."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_to_relational_spark.operators.merge import read_transcripts
+from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+from hierarchical_to_relational_spark.streaming.egress import ChangeFollower
+from tests.test_cdc import _env_rows
+
+
+def _apply_poll(state: dict, spark, out_path):
+    rows = spark.read.parquet(out_path).collect()
+    for r in rows:
+        if r["change_op"] == "d":
+            for k in [k for k in state if k[0] == r["conv_id"]]:
+                del state[k]
+    for r in rows:
+        if r["change_op"] == "u":
+            state[(r["conv_id"], r["turn_idx"])] = r["text"]
+    return state
+
+
+def test_follower_crash_resume_and_export(spark, tmp_path):
+    """Polls export atomic parquet increments; a consumer applying them to
+    its snapshot tracks the table exactly; a NEW follower on the same
+    cursor file resumes where the crashed one stopped (no gaps, no
+    re-emission of consumed windows)."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=4, text_mode="none")
+    cursor = str(tmp_path / "cursor.json")
+    out = str(tmp_path / "egress")
+
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None)]),
+        (2, "insert", "cB", [(0, "user", "b0", None)]),
+    ]), "b0")
+    f1 = ChangeFollower(spark, pipe.table, cursor, out_dir=out)
+    first = f1.poll_once()           # pins cursor, emits nothing
+    assert first["from"] is None and first["out_path"] is None
+    # consumer bootstraps with its own full read at the pinned version
+    state = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in read_transcripts(spark, pipe.table, version=first["to"]).collect()}
+
+    pipe.apply_batch(_env_rows(spark, [
+        (3, "update", "cA", [(0, "user", "a1", None)]),
+    ]), "b1")
+    p1 = f1.poll_once()
+    assert (p1["upserts"], p1["deletes"]) == (1, 0) and p1["out_path"]
+    state = _apply_poll(state, spark, p1["out_path"])
+
+    # follower crashes; more commits land; a NEW follower resumes
+    pipe.apply_batch(_env_rows(spark, [
+        (4, "delete", "cB", None),
+        (5, "insert", "cC", [(0, "user", "c0", None)]),
+    ]), "b2")
+    f2 = ChangeFollower(spark, pipe.table, cursor, out_dir=out)
+    p2 = f2.poll_once()
+    assert p2["from"] == p1["to"], "resumed exactly at the crashed cursor"
+    assert (p2["upserts"], p2["deletes"]) == (1, 1)
+    state = _apply_poll(state, spark, p2["out_path"])
+
+    want = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in read_transcripts(spark, pipe.table).collect()}
+    assert state == want
+
+    # idle poll: nothing new, cursor unchanged, no export dir
+    p3 = f2.poll_once()
+    assert p3["from"] == p3["to"] and p3["out_path"] is None
+
+    # the export dir is a valid Structured Streaming source: a downstream
+    # job tails the increments with vanilla readStream
+    inc_schema = spark.read.parquet(p2["out_path"]).schema
+    q = (spark.readStream.schema(inc_schema).parquet(os.path.join(out, "inc-*"))
+         .groupBy("change_op").count()
+         .writeStream.format("memory").queryName("egress_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    counts = {r["change_op"]: r["count"] for r in spark.sql("select * from egress_counts").collect()}
+    assert counts == {"u": 2, "d": 1}
+
+
+def test_follower_surfaces_rollback_as_resync(spark, tmp_path):
+    """A rollback inside a polled window stops the follower with
+    needs_resync; after the consumer rebuilds, reset_cursor re-arms it."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    cursor = str(tmp_path / "cursor.json")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "keep", None)])]), "b0")
+    f = ChangeFollower(spark, pipe.table, cursor)
+    f.poll_once()
+    v_good = pipe.table.current_version()
+    pipe.apply_batch(_env_rows(spark, [(2, "insert", "cX", [(0, "user", "bad", None)])]), "b1")
+    pipe.table.rollback(v_good, batch_id="rb")
+    polls = f.run(poll_interval_s=0.01, max_polls=3)
+    assert polls[0]["needs_resync"] is True and len(polls) == 1
+
+    # consumer resyncs from a full read, pins the cursor, and follows again
+    v_now = pipe.table.current_version()
+    f.reset_cursor(v_now)
+    pipe.apply_batch(_env_rows(spark, [(3, "insert", "cB", [(0, "user", "post", None)])]), "b2")
+    p = f.poll_once()
+    assert p["needs_resync"] is False and p["upserts"] == 1
