@@ -154,6 +154,7 @@ class SnapshotTable:
                         "version": 0,
                         "batch_id": "__create__",
                         "kind": "create",
+                        "committed_at": time.time(),
                         "schema": schema.json(),
                         "n_buckets": n_buckets,
                         "live": {},
@@ -178,6 +179,28 @@ class SnapshotTable:
     def current_version(self) -> int | None:
         vs = self._versions()
         return vs[-1] if vs else None
+
+    def version_as_of(self, ts: float) -> int:
+        """Timestamp time travel (Iceberg ``FOR TIMESTAMP AS OF``): the
+        latest RETAINED version committed at or before epoch-seconds
+        ``ts``. Raises if every retained snapshot is newer (the history
+        before the retention window is gone — same failure mode as
+        reading an expired version). Pre-``committed_at`` snapshots
+        (older table formats) are treated as older than any timestamp."""
+        best = None
+        for v in self._versions():
+            try:
+                at = self.snapshot(v).get("committed_at", 0.0)
+            except FileNotFoundError:
+                continue  # racing expiration
+            if at <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot at or before ts={ts}; earliest retained "
+                f"version is {(self._versions() or [None])[0]}"
+            )
+        return best
 
     def snapshot(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -318,6 +341,7 @@ class SnapshotTable:
         version: int | None = None,
         key_range: tuple | None = None,
         lsn_range: tuple | None = None,
+        as_of_ts: float | None = None,
     ) -> DataFrame:
         """Scan the live table state (or a historical version), optionally
         pruned to a bucket subset. Old files are projected up to the current
@@ -337,7 +361,14 @@ class SnapshotTable:
         (pre-sidecar commits, truncated string stats) are never pruned. At
         scale this is what makes a point lookup touch one file per compacted
         base dir (range-clustered) plus only the delta files whose batches
-        actually contained the key — not every file in the bucket."""
+        actually contained the key — not every file in the bucket.
+
+        ``as_of_ts`` (epoch seconds) is timestamp time travel — resolved to
+        the latest retained version committed at or before it."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of_ts, not both")
+            version = self.version_as_of(as_of_ts)
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         live: dict[str, list[str]] = snap["live"]
@@ -598,6 +629,7 @@ class SnapshotTable:
                 "version": cur["version"] + 1,
                 "batch_id": batch_id,
                 "kind": kind,
+                "committed_at": time.time(),
                 "schema": schema.json(),
                 "n_buckets": n_buckets_override if n_buckets_override is not None else cur["n_buckets"],
                 "live": new_live,
@@ -831,6 +863,8 @@ class SnapshotTable:
                 {
                     "version": v,
                     "batch_id": s["batch_id"],
+                    "kind": s.get("kind"),
+                    "committed_at": s.get("committed_at"),
                     "n_buckets": s["n_buckets"],
                     "live_buckets": len(s["live"]),
                     "data_dirs": len({d for ds in s["live"].values() for d in ds}),
@@ -874,6 +908,7 @@ class SnapshotTable:
         retain_last: int = 100,
         clean_orphans: bool = True,
         orphan_grace_seconds: float = 3600.0,
+        older_than_s: float | None = None,
     ) -> dict:
         """Expire old snapshots (Iceberg expire_snapshots + orphan cleanup):
         keeps the table's metadata bounded over an unbounded stream.
@@ -905,6 +940,22 @@ class SnapshotTable:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
         to_expire = versions[:-retain_last]
+        if older_than_s is not None:
+            # Iceberg expire_snapshots(older_than=...): age is a further
+            # RESTRICTION on what the count window would expire — young
+            # snapshots survive even beyond retain_last, so time travel
+            # keeps a wall-clock horizon regardless of commit rate.
+            now = time.time()
+            aged = []
+            for v in to_expire:
+                try:
+                    at = self.snapshot(v).get("committed_at", 0.0)
+                except FileNotFoundError:
+                    continue  # racing expiration already removed it
+                if now - at > older_than_s:
+                    aged.append(v)
+            to_expire = aged
+        survivors = [v for v in versions if v not in set(to_expire)]
 
         ids = self.committed_batch_ids()  # ledger ∪ every current snapshot
         ids.compact()
@@ -921,7 +972,7 @@ class SnapshotTable:
         removed_dirs = 0
         if clean_orphans:
             referenced: set[str] = set()
-            for v in versions[-retain_last:]:
+            for v in survivors:
                 try:
                     snap_v = self.snapshot(v)
                 except FileNotFoundError:

@@ -51,13 +51,19 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--retain-last", type=int, default=100)
     e.add_argument("--orphan-grace-s", type=float, default=3600.0)
     e.add_argument("--no-clean-orphans", action="store_true")
+    e.add_argument("--older-than-s", type=float, default=None,
+                   help="only expire snapshots older than this many seconds "
+                        "(younger ones survive even beyond --retain-last)")
 
     rb = sub.add_parser("rebucket")
     rb.add_argument("--n-buckets", type=int, required=True)
     rb.add_argument("--batch-id", default=None)
 
     ro = sub.add_parser("rollback")
-    ro.add_argument("--to-version", type=int, required=True)
+    ro.add_argument("--to-version", type=int, default=None)
+    ro.add_argument("--to-ts", type=float, default=None,
+                    help="epoch seconds: roll back to the latest snapshot "
+                         "committed at or before this time")
     ro.add_argument("--batch-id", default=None)
 
     ch = sub.add_parser("changes")
@@ -94,6 +100,7 @@ def main(argv: list[str] | None = None) -> int:
             retain_last=args.retain_last,
             clean_orphans=not args.no_clean_orphans,
             orphan_grace_seconds=args.orphan_grace_s,
+            older_than_s=args.older_than_s,
         )
     else:
         spark = SparkSession.builder.appName(f"h2r-maintenance-{args.action}").getOrCreate()
@@ -127,14 +134,20 @@ def main(argv: list[str] | None = None) -> int:
             out = {"committed": evolve_buckets(spark, table, args.n_buckets, batch_id=bid),
                    "batch_id": bid, "n_buckets": args.n_buckets}
         else:  # rollback
+            if (args.to_version is None) == (args.to_ts is None):
+                p.error("rollback needs exactly one of --to-version / --to-ts")
+            to_version = (
+                args.to_version if args.to_version is not None
+                else table.version_as_of(args.to_ts)
+            )
             # embed the CURRENT version too: rolling back to the same target
             # a second time (after new writes) must be a new commit, not a
             # silent no-op against the permanent batch-id ledger
             bid = args.batch_id or (
-                f"maintenance-rollback-{args.to_version}-v{table.current_version()}"
+                f"maintenance-rollback-{to_version}-v{table.current_version()}"
             )
-            out = {"committed": table.rollback(args.to_version, batch_id=bid),
-                   "batch_id": bid, "to_version": args.to_version}
+            out = {"committed": table.rollback(to_version, batch_id=bid),
+                   "batch_id": bid, "to_version": to_version}
         out["table_version"] = table.current_version()
 
     print(json.dumps(out, default=str))

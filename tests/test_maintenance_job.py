@@ -101,3 +101,17 @@ def test_changes_and_zorder_actions(spark, tmp_path, capsys, table):
     pd.testing.assert_frame_equal(
         before.reset_index(drop=True), after.reset_index(drop=True)
     )
+
+
+def test_rollback_by_timestamp_and_age_expire(spark, tmp_path, capsys, table):
+    """CLI: rollback --to-ts resolves via version_as_of; expire
+    --older-than-s with a huge age expires nothing."""
+    root, _events = table
+    t = SnapshotTable(root)
+    target_ts = t.snapshot(2)["committed_at"]
+    ro = _run(capsys, "--table", root, "rollback", "--to-ts", str(target_ts))
+    assert ro["committed"] is True and ro["to_version"] == 2
+
+    e = _run(capsys, "--table", root, "expire", "--retain-last", "1",
+             "--older-than-s", "999999", "--orphan-grace-s", "999999")
+    assert e["expired_snapshots"] == 0

@@ -736,3 +736,42 @@ def test_partial_compaction_folds_only_pressured_buckets(spark, tmp_path):
     v2 = t.current_version()
     assert compact_pressured(spark, t, batch_id="pc1", depth_threshold=4) == []
     assert t.current_version() == v2
+
+
+def test_timestamp_time_travel_and_age_expiry(spark, tmp_path, monkeypatch):
+    """version_as_of / read(as_of_ts): timestamp time travel resolves to
+    the latest snapshot committed at or before the given time;
+    expire_snapshots(older_than_s) keeps young snapshots alive even
+    beyond retain_last (wall-clock time-travel horizon)."""
+    import hierarchical_to_relational_spark.table.snapshot_table as st
+
+    clock = {"now": 1_000_000.0}
+    monkeypatch.setattr(st.time, "time", lambda: clock["now"])
+
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    stamps = {}
+    for i in range(5):
+        clock["now"] += 100
+        df = _bucketed(spark, t, [("a", i)])
+        t.commit_overwrite_buckets(df, _buckets(df), f"b{i}")
+        stamps[t.current_version()] = clock["now"]
+
+    # exact stamp, between stamps, and before-history
+    v3 = t.version_as_of(stamps[3])
+    assert v3 == 3
+    assert t.version_as_of(stamps[3] + 50) == 3
+    assert t.read(spark, as_of_ts=stamps[2]).select("v").collect()[0][0] == 1
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        t.version_as_of(999_999.0)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=1, as_of_ts=stamps[2])
+    assert all(h["committed_at"] for h in t.history())
+
+    # age-restricted expiration: retain_last=1 would expire v0..v4, but
+    # only snapshots older than 250s (v0..v2 at now) actually expire
+    res = t.expire_snapshots(retain_last=1, older_than_s=250.0,
+                             orphan_grace_seconds=1e9)
+    assert res["expired_snapshots"] == 3
+    assert t._versions() == [3, 4, 5]
+    # the surviving window still time-travels
+    assert t.read(spark, as_of_ts=stamps[4]).select("v").collect()[0][0] == 3
