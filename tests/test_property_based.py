@@ -208,3 +208,53 @@ def test_interval_join_matches_naive(spark, pts, ivs, bucket):
     want = {(r["pid"], r["iid"]) for r in
             p.join(iv, "k").where((F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e"))).collect()}
     assert got == want
+
+
+# ---------- changes_since net diff & merge-patch fold (randomized) ----------
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 10_000), split=st.floats(0.2, 0.8),
+       patch_rate=st.sampled_from([0.0, 0.3]))
+def test_changes_since_net_diff_property(spark, tmp_path_factory, seed, split, patch_rate):
+    """For ARBITRARY streams (random seed, random checkpoint position,
+    with and without patch events): applying a changes_since poll to the
+    checkpointed state reproduces the current table state, and the
+    current state matches the independent pandas oracle."""
+    import pandas as pd
+    from hierarchical_to_relational_spark import datagen
+    from hierarchical_to_relational_spark.operators.merge import (
+        changes_since, read_transcripts,
+    )
+    from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+    from tests.test_cdc import _apply_diff
+
+    tmp = tmp_path_factory.mktemp(f"csp-{seed}-{int(split*100)}-{int(patch_rate*10)}")
+    spec = datagen.BinlogSpec(n_events=120, n_convs=10, seed=seed,
+                              patch_rate=patch_rate)
+    events = datagen.generate_events(spec)
+    stream = datagen.arrival_order(events, spec)
+    paths = datagen.write_binlog(stream, str(tmp / "bl"), n_segments=4)
+
+    pipe = CdcPipeline(spark, str(tmp / "bl"), str(tmp / "t"), str(tmp / "ck"),
+                       n_buckets=4, text_mode="none", compact_every=10_000)
+    cut = max(1, min(len(paths) - 1, int(len(paths) * split)))
+    for i, p in enumerate(paths[:cut]):
+        pipe.replay_batch(p, f"a{i}")
+    state1 = (read_transcripts(spark, pipe.table)
+              .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True))
+    v1 = pipe.table.current_version()
+    for i, p in enumerate(paths[cut:]):
+        pipe.replay_batch(p, f"b{i}")
+
+    got = _apply_diff(state1, changes_since(spark, pipe.table, v1).collect())
+    want_now = (read_transcripts(spark, pipe.table)
+                .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"turn_idx": "int64"}), want_now.astype({"turn_idx": "int64"}),
+        check_dtype=False,
+    )
+    oracle = datagen.expected_state(events)
+    pd.testing.assert_frame_equal(
+        want_now.astype({"turn_idx": "int64"}), oracle.astype({"turn_idx": "int64"}),
+        check_dtype=False,
+    )
