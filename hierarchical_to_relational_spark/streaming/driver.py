@@ -86,6 +86,7 @@ class CdcPipeline:
         mode: str = "mor",
         compact_every: int = 16,
         compact_min_bytes: int | None = None,
+        compact_zorder: list[str] | None = None,
         expire_every: int | None = None,
         retain_snapshots: int = 100,
         orphan_grace_seconds: float = 3600.0,
@@ -99,6 +100,7 @@ class CdcPipeline:
         self.mode = mode
         self.compact_every = compact_every
         self.compact_min_bytes = compact_min_bytes
+        self.compact_zorder = compact_zorder
         self.expire_every = expire_every
         self.retain_snapshots = retain_snapshots
         self.orphan_grace_seconds = orphan_grace_seconds
@@ -132,6 +134,7 @@ class CdcPipeline:
                 self.spark, self.table, batch_id=f"{batch_id}::compact",
                 depth_threshold=self.compact_every,
                 bytes_threshold=self.compact_min_bytes,
+                zorder=self.compact_zorder,
             )
             if folded:
                 metrics["compacted"] = True

@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-min-mb", type=float, default=None,
                    help="also compact when any bucket's stacked deltas exceed this "
                         "many MiB (manifest byte stats; no filesystem listing)")
+    p.add_argument("--compact-zorder", default=None, metavar="COL[,COL...]",
+                   help="cluster compaction rewrites by a Morton interleave of "
+                        "these columns (e.g. conv_id,_lsn) instead of conv_id")
     p.add_argument("--expire-every", type=int, default=None,
                    help="expire old snapshots + collect orphans every N applied "
                         "batches (unbounded-stream metadata hygiene)")
@@ -82,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
         retain_snapshots=args.retain_snapshots,
         orphan_grace_seconds=args.orphan_grace_s,
         source_format=args.source_format,
+        compact_zorder=args.compact_zorder.split(",") if args.compact_zorder else None,
     )
     if args.stream:
         q = pipe.run_stream(
@@ -109,7 +113,8 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
     if args.final_compact:
-        compact(spark, pipe.table, batch_id="final-compact")
+        compact(spark, pipe.table, batch_id="final-compact",
+                zorder=args.compact_zorder.split(",") if args.compact_zorder else None)
 
     print(json.dumps({
         "table_version": pipe.table.current_version(),
