@@ -151,7 +151,7 @@ def bench_cdc(spark, n_events: int, n_batches: int, work_dir: str) -> dict:
 
     compact(spark, pipe.table, batch_id="bench-compact")
     pipe.replay_batch(segs[:1], "bench-post-compact-delta")
-    conv = pipe.table.read(spark, buckets=[0]).where(
+    conv = pipe.table.read(spark).where(
         F.col("conv_id").isNotNull()
     ).select("conv_id").first()[0]
     lk = None

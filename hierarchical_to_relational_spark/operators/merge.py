@@ -472,6 +472,13 @@ def _diff_live_dirs(
             respec = True
         if kind is None and snap["batch_id"].endswith(("::compact", "::evolve")):
             kind = "compact"  # pre-kind snapshots from this engine's pipeline
+        if kind is None and snap["batch_id"].startswith("maintenance-rollback-"):
+            # pre-kind rollbacks from the maintenance CLI's derived ids:
+            # superset emission would be WRONG (rollback removes rows
+            # without tombstones), so sniff them into the raise below.
+            # Pre-kind rollbacks under caller-chosen ids remain
+            # undetectable — a legacy-table limitation.
+            kind = "rollback"
         if kind == "rollback":
             raise ValueError(
                 f"changes_since window ({since_version}, {version}] contains a "

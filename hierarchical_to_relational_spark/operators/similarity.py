@@ -380,7 +380,12 @@ def ivf_auto_probe(
         F.col(id_col).alias("_id"),
         _unit(F.col(vec_col).cast("array<double>")).alias("v"),
     ).where(F.col("v").isNotNull())
-    c_cells = (_assign_cells(c, cent) if assign == "join" else _assign_cells_arrow(c, cents))
+    if assign == "join":
+        c_cells = _assign_cells(c, cent)
+    elif assign == "arrow":
+        c_cells = _assign_cells_arrow(c, cents)
+    else:  # same validation as ivf_topk — a typo must not silently
+        raise ValueError(f"unknown assign strategy {assign!r} (join | arrow)")
     c_cells = c_cells.select(
         F.col("_id").alias("neighbor_id"), "cell", F.col("v").alias("cv")
     ).localCheckpoint()

@@ -124,12 +124,17 @@ def _relax_nullability(dt: T.DataType) -> T.DataType:
 
 
 # Spark CSV options for the flat envelope: RFC-4180 quoting (pandas/Excel
-# style '"' escape, not Spark's backslash default) and microsecond ISO
-# timestamps, so fields with commas/quotes and sub-second commit times
-# round-trip exactly.
+# style '"' escape, not Spark's backslash default), multiLine so quoted
+# fields containing EMBEDDED NEWLINES (routine in chat transcript text)
+# parse as one record instead of two silently-malformed fragments, and
+# microsecond ISO timestamps — so fields with commas/quotes/newlines and
+# sub-second commit times round-trip exactly. multiLine makes a CSV file
+# a single input split, which is fine: binlog segments are many small
+# files, so parallelism comes from the file count.
 _CSV_OPTIONS = {
     "header": "true",
     "escape": '"',
+    "multiLine": "true",
     "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
 }
 

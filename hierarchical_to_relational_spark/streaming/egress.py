@@ -52,6 +52,13 @@ class ChangeFollower:
         self.out_dir = out_dir
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
+            # a crash between export and rename leaves _stage-* orphans;
+            # they belong to no consumer (readers only see inc-* dirs)
+            import glob as _glob
+            import shutil as _shutil
+
+            for stale in _glob.glob(os.path.join(out_dir, "_stage-*")):
+                _shutil.rmtree(stale, ignore_errors=True)
 
     # -- cursor ----------------------------------------------------------
     def cursor(self) -> int | None:
@@ -93,15 +100,22 @@ class ChangeFollower:
                     "out_path": None, "needs_resync": False}
         try:
             df = changes_since(self.spark, self.table, since, version=v_now)
-        except ValueError:
+        except (ValueError, FileNotFoundError):
+            # ValueError: rollback in the window. FileNotFoundError: the
+            # cursor's snapshot was expired while the follower was offline
+            # (past the retention window). Both mean: full resync.
             return {"from": since, "to": v_now, "upserts": 0, "deletes": 0,
                     "out_path": None, "needs_resync": True}
         out_path = None
         if self.out_dir:
             final = os.path.join(self.out_dir, f"inc-{since:010d}-{v_now:010d}")
-            stage = os.path.join(self.out_dir, f"_stage-{uuid.uuid4().hex}")
-            df.write.mode("overwrite").parquet(stage)
-            os.replace(stage, final)  # atomic: readers see whole dirs only
+            if not os.path.exists(final):
+                stage = os.path.join(self.out_dir, f"_stage-{uuid.uuid4().hex}")
+                df.write.mode("overwrite").parquet(stage)
+                os.replace(stage, final)  # atomic: readers see whole dirs only
+            # else: a previous poll exported this exact window but crashed
+            # before advancing the cursor — the diff of (since, v_now] is
+            # deterministic, so the existing export IS this poll's output
             df = self.spark.read.parquet(final)
             out_path = final
         ops = {r["change_op"]: r["n"] for r in

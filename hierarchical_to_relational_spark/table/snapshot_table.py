@@ -461,6 +461,14 @@ class SnapshotTable:
         commit_abs = os.path.join(self.root, commit_rel)
         ordered = ["_bucket"] + [n for n in schema.fieldNames()]
         out = df.select(*ordered)
+        persisted = None
+        if callable(cluster_by):
+            # an expression factory (z-order) samples `out` for range
+            # boundaries — one count + one collect per column. Without a
+            # persist each of those jobs re-runs the FULL upstream DAG
+            # (for compaction: the whole multi-bucket read + resolve), as
+            # does repartitionByRange's own sampling pass.
+            persisted = out = out.persist()
         if cluster_by is not None:
             # range-cluster (background rewrites: compact / rebucket): each
             # shuffle partition covers a contiguous (_bucket, key) range, so
@@ -490,7 +498,11 @@ class SnapshotTable:
             # range-clustered rewrites already yield tight min-max bounds
             for k, v in PARQUET_BLOOM_OPTS.items():
                 writer = writer.option(k, v)
-        writer.parquet(commit_abs)
+        try:
+            writer.parquet(commit_abs)
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         written: dict[str, int] = {}  # bucket -> bytes (manifest size stats)
         for p in glob.glob(os.path.join(commit_abs, "_bucket=*")):
             b = os.path.basename(p).split("=", 1)[1]
@@ -809,25 +821,11 @@ class SnapshotTable:
 
     def delta_bytes(self) -> int:
         """Max per-bucket bytes of stacked delta dirs (every dir beyond the
-        base) — the size-based compaction trigger. Served from the
-        manifest's ``commit_bytes`` stats (recorded at write time), so no
-        filesystem listing; filesystem fallback only for dirs committed
-        before stats existed."""
-        snap = self.snapshot()
-        cb = snap.get("commit_bytes", {})
-        worst = 0
-        for b, dirs in snap["live"].items():
-            total = 0
-            for d in dirs[1:]:
-                if d in cb and b in cb[d]:
-                    total += cb[d][b]
-                else:
-                    total += sum(
-                        os.path.getsize(f)
-                        for f in glob.glob(os.path.join(self.root, d, f"_bucket={b}", "*.parquet"))
-                    )
-            worst = max(worst, total)
-        return worst
+        base) — the size-based compaction trigger. One shared stats walk
+        with ``delta_stats``."""
+        return max(
+            (s["delta_bytes"] for s in self.delta_stats().values()), default=0
+        )
 
     def total_bytes(self) -> int:
         """Live table size from the manifest's commit_bytes stats (no
@@ -837,12 +835,8 @@ class SnapshotTable:
         snap = self.snapshot()
         cb = snap.get("commit_bytes", {})
         total = 0
-        seen: set[tuple[str, str]] = set()
-        for b, dirs in snap["live"].items():
+        for b, dirs in snap["live"].items():  # (dir, bucket) pairs are unique
             for d in dirs:
-                if (d, b) in seen:
-                    continue
-                seen.add((d, b))
                 if d in cb and b in cb[d]:
                     total += cb[d][b]
                 else:

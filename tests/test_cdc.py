@@ -633,3 +633,59 @@ def test_random_patch_stream_matches_oracle(spark, tmp_path):
     for i in range(0, len(rev), 2):
         pipe2.replay_batch(rev[i:i + 2], f"pair-{i}")
     _assert_matches_oracle(spark, pipe2, events)
+
+
+def test_changes_since_legacy_rollback_sniffed(spark, tmp_path):
+    """Pre-kind snapshots (older table format) whose batch id matches the
+    maintenance CLI's derived rollback ids are sniffed and raise — a
+    superset emission would silently keep rolled-back rows alive."""
+    import json
+    from hierarchical_to_relational_spark.operators.merge import changes_since
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "a", None)])]), "b0")
+    v1 = pipe.table.current_version()
+    pipe.apply_batch(_env_rows(spark, [(2, "insert", "cB", [(0, "user", "b", None)])]), "b1")
+    pipe.table.rollback(v1, batch_id=f"maintenance-rollback-{v1}-v{v1+1}")
+    # strip the kind field to simulate a snapshot from the pre-kind engine
+    path = pipe.table._snapshot_path(pipe.table.current_version())
+    with open(path) as fh:
+        snap = json.load(fh)
+    del snap["kind"]
+    with open(path, "w") as fh:
+        json.dump(snap, fh)
+    with pytest.raises(ValueError, match="resync"):
+        changes_since(spark, pipe.table, v1)
+
+
+def test_csv_binlog_embedded_newlines(spark, tmp_path):
+    """RFC-4180 quoted fields with EMBEDDED NEWLINES (routine in chat
+    transcript text) must round-trip through the CSV source — the
+    multiLine reader parses them as one record, batch and stream."""
+    events = pd.DataFrame({
+        "lsn": [1, 2, 3],
+        "commit_ts": pd.to_datetime(["2026-01-01"] * 3),
+        "op": ["insert", "insert", "delete"],
+        "conv_id": ["cA", "cB", "cC"],
+        "turns": [
+            [{"turn_idx": 0, "role": "user", "text": "line one\nline two", "tool": None,
+              "ts": pd.Timestamp("2026-01-01").to_pydatetime()}],
+            [{"turn_idx": 0, "role": "assistant", "text": 'quote " and,\ncomma', "tool": "bash",
+              "ts": pd.Timestamp("2026-01-01").to_pydatetime()}],
+            None,
+        ],
+    })
+    d = str(tmp_path / "csvlog")
+    datagen.write_binlog_csv(events, d, n_segments=1)
+    pipe = CdcPipeline(spark, d, str(tmp_path / "t"), str(tmp_path / "ck"),
+                       n_buckets=2, text_mode="none", source_format="csv")
+    pipe.replay_batch(d, "all")
+    got = {(r["conv_id"], r["text"]) for r in read_transcripts(spark, pipe.table).collect()}
+    assert got == {("cA", "line one\nline two"), ("cB", 'quote " and,\ncomma')}
+
+    pipe2 = CdcPipeline(spark, d, str(tmp_path / "t2"), str(tmp_path / "ck2"),
+                        n_buckets=2, text_mode="none", source_format="csv")
+    pipe2.run_stream(max_files_per_trigger=1)
+    got2 = {(r["conv_id"], r["text"]) for r in read_transcripts(spark, pipe2.table).collect()}
+    assert got2 == got

@@ -108,3 +108,44 @@ def test_follower_surfaces_rollback_as_resync(spark, tmp_path):
     pipe.apply_batch(_env_rows(spark, [(3, "insert", "cB", [(0, "user", "post", None)])]), "b2")
     p = f.poll_once()
     assert p["needs_resync"] is False and p["upserts"] == 1
+
+
+def test_follower_reexport_after_cursor_crash(spark, tmp_path):
+    """Crash between export and cursor write: the re-poll of the same
+    window reuses the existing export instead of failing on the rename
+    (the diff of a fixed version window is deterministic)."""
+    import json
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    cursor = str(tmp_path / "cursor.json")
+    out = str(tmp_path / "egress")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "a", None)])]), "b0")
+    f = ChangeFollower(spark, pipe.table, cursor, out_dir=out)
+    f.poll_once()
+    v0 = f.cursor()
+    pipe.apply_batch(_env_rows(spark, [(2, "insert", "cB", [(0, "user", "b", None)])]), "b1")
+    p1 = f.poll_once()
+    # simulate the crash: cursor rolls back to before the export
+    with open(cursor, "w") as fh:
+        json.dump({"version": v0}, fh)
+    p2 = f.poll_once()          # same window re-polled
+    assert p2["out_path"] == p1["out_path"]
+    assert (p2["upserts"], p2["deletes"]) == (p1["upserts"], p1["deletes"])
+    assert f.cursor() == p1["to"]
+
+
+def test_follower_expired_cursor_needs_resync(spark, tmp_path):
+    """A follower offline past the snapshot retention window surfaces
+    needs_resync instead of crashing with FileNotFoundError."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    cursor = str(tmp_path / "cursor.json")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "a", None)])]), "b0")
+    f = ChangeFollower(spark, pipe.table, cursor)
+    f.poll_once()
+    for i in range(4):
+        pipe.apply_batch(_env_rows(spark, [(2 + i, "insert", f"c{i}", [(0, "user", "x", None)])]), f"b{1+i}")
+    pipe.table.expire_snapshots(retain_last=2, orphan_grace_seconds=1e9)
+    p = f.poll_once()
+    assert p["needs_resync"] is True
