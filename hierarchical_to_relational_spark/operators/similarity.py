@@ -291,6 +291,8 @@ def ivf_topk(
     100 % JVM: broadcast join + max_by, one corpus exchange) or
     ``"arrow"`` (map-only vectorized numpy argmax, ZERO corpus shuffle —
     the 10^10-scale path; same result, tested equal)."""
+    if assign not in ("join", "arrow"):  # before any expensive work
+        raise ValueError(f"unknown assign strategy {assign!r} (join | arrow)")
     cents = ivf_centroid_list(corpus, id_col, vec_col, n_cells, n_iters, seed, train_sample)
     if not cents:  # empty/degenerate corpus: exact empty result, same schema
         return brute_force_topk(queries, corpus, id_col, vec_col, k)
@@ -371,6 +373,8 @@ def ivf_auto_probe(
     SAMPLE queries, and brute-force ground truth is O(sample × corpus) —
     size the sample accordingly (tens of queries suffice: recall is a
     per-query average)."""
+    if assign not in ("join", "arrow"):  # before the expensive ground truth
+        raise ValueError(f"unknown assign strategy {assign!r} (join | arrow)")
     exact = brute_force_topk(sample_queries, corpus, id_col, vec_col, k).localCheckpoint()
     cents = ivf_centroid_list(corpus, id_col, vec_col, n_cells, n_iters, seed, train_sample)
     if not cents:
@@ -380,12 +384,7 @@ def ivf_auto_probe(
         F.col(id_col).alias("_id"),
         _unit(F.col(vec_col).cast("array<double>")).alias("v"),
     ).where(F.col("v").isNotNull())
-    if assign == "join":
-        c_cells = _assign_cells(c, cent)
-    elif assign == "arrow":
-        c_cells = _assign_cells_arrow(c, cents)
-    else:  # same validation as ivf_topk — a typo must not silently
-        raise ValueError(f"unknown assign strategy {assign!r} (join | arrow)")
+    c_cells = _assign_cells(c, cent) if assign == "join" else _assign_cells_arrow(c, cents)
     c_cells = c_cells.select(
         F.col("_id").alias("neighbor_id"), "cell", F.col("v").alias("cv")
     ).localCheckpoint()

@@ -27,8 +27,10 @@ incremental reads across non-append history rewrites.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -52,13 +54,19 @@ class ChangeFollower:
         self.out_dir = out_dir
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
-            # a crash between export and rename leaves _stage-* orphans;
-            # they belong to no consumer (readers only see inc-* dirs)
-            import glob as _glob
-            import shutil as _shutil
-
-            for stale in _glob.glob(os.path.join(out_dir, "_stage-*")):
-                _shutil.rmtree(stale, ignore_errors=True)
+            # a crash between export and rename leaves _stage-* orphans
+            # (readers only see inc-* dirs). Remove only STALE ones: a
+            # supervisor may restart the follower while the old process is
+            # still mid-export, and deleting its live stage dir would let
+            # it publish a PARTIAL increment. An hour of no modification
+            # means no write is in flight.
+            now = time.time()
+            for stale in glob.glob(os.path.join(out_dir, "_stage-*")):
+                try:
+                    if now - os.path.getmtime(stale) > 3600:
+                        shutil.rmtree(stale, ignore_errors=True)
+                except FileNotFoundError:
+                    pass
 
     # -- cursor ----------------------------------------------------------
     def cursor(self) -> int | None:
@@ -100,12 +108,19 @@ class ChangeFollower:
                     "out_path": None, "needs_resync": False}
         try:
             df = changes_since(self.spark, self.table, since, version=v_now)
-        except (ValueError, FileNotFoundError):
-            # ValueError: rollback in the window. FileNotFoundError: the
-            # cursor's snapshot was expired while the follower was offline
-            # (past the retention window). Both mean: full resync.
+        except ValueError:
+            # rollback in the window: full resync
             return {"from": since, "to": v_now, "upserts": 0, "deletes": 0,
                     "out_path": None, "needs_resync": True}
+        except FileNotFoundError:
+            # Resync ONLY if the cursor's snapshot really expired (offline
+            # past the retention window); a transient FS blip on some other
+            # snapshot file should propagate and be retried next poll — a
+            # spurious resync is a full-table rebuild at scale.
+            if not os.path.exists(self.table._snapshot_path(since)):
+                return {"from": since, "to": v_now, "upserts": 0, "deletes": 0,
+                        "out_path": None, "needs_resync": True}
+            raise
         out_path = None
         if self.out_dir:
             final = os.path.join(self.out_dir, f"inc-{since:010d}-{v_now:010d}")

@@ -467,38 +467,42 @@ class SnapshotTable:
             # boundaries — one count + one collect per column. Without a
             # persist each of those jobs re-runs the FULL upstream DAG
             # (for compaction: the whole multi-bucket read + resolve), as
-            # does repartitionByRange's own sampling pass.
+            # does repartitionByRange's own sampling pass. The try/finally
+            # starts immediately: the sampling jobs are the first to
+            # populate the cache and must not leak it on failure.
             persisted = out = out.persist()
-        if cluster_by is not None:
-            # range-cluster (background rewrites: compact / rebucket): each
-            # shuffle partition covers a contiguous (_bucket, key) range, so
-            # every written file gets a TIGHT key min-max in its footer —
-            # that's what makes file-level pruning effective on the base
-            # (salted hash writes give each file a near-full key range).
-            # A zipf-hot key can fatten one range partition, but this is
-            # the amortized background path, not the per-batch hot path.
-            # ``cluster_by`` may be a column name or a DataFrame→Column
-            # factory (e.g. functions.zorder.zorder_expr for multi-column
-            # z-order clustering).
-            cluster_col = cluster_by(out) if callable(cluster_by) else F.col(cluster_by)
-            out = out.repartitionByRange(F.col("_bucket"), cluster_col)
-        elif repartition:
-            # one shuffle so each bucket dir gets few files (not tasks×buckets).
-            # Salted within the bucket: a zipf-hot conversation can own >15%
-            # of a batch, and repartition on _bucket alone would write that
-            # bucket in ONE task — a serial tail that caps scaling. The salt
-            # spreads a hot bucket across WRITE_SALTS writer tasks (≤ that
-            # many files per bucket dir).
-            salt = F.pmod(F.xxhash64(*[c for c in ordered if c != "_bucket"][:2]), F.lit(8))
-            out = out.repartition(F.col("_bucket"), salt)
-        writer = out.write.partitionBy("_bucket").mode("overwrite")
-        if cluster_by is None:
-            # hash-ordered writes (appends / CoW batches): key bloom filters
-            # cover what min-max pruning can't (see PARQUET_BLOOM_OPTS);
-            # range-clustered rewrites already yield tight min-max bounds
-            for k, v in PARQUET_BLOOM_OPTS.items():
-                writer = writer.option(k, v)
         try:
+            if cluster_by is not None:
+                # range-cluster (background rewrites: compact / rebucket):
+                # each shuffle partition covers a contiguous (_bucket, key)
+                # range, so every written file gets a TIGHT key min-max in
+                # its footer — that's what makes file-level pruning
+                # effective on the base (salted hash writes give each file
+                # a near-full key range). A zipf-hot key can fatten one
+                # range partition, but this is the amortized background
+                # path, not the per-batch hot path. ``cluster_by`` may be
+                # a column name or a DataFrame→Column factory (e.g.
+                # functions.zorder.zorder_expr for multi-column z-order).
+                cluster_col = cluster_by(out) if callable(cluster_by) else F.col(cluster_by)
+                out = out.repartitionByRange(F.col("_bucket"), cluster_col)
+            elif repartition:
+                # one shuffle so each bucket dir gets few files (not
+                # tasks×buckets). Salted within the bucket: a zipf-hot
+                # conversation can own >15% of a batch, and repartition on
+                # _bucket alone would write that bucket in ONE task — a
+                # serial tail that caps scaling. The salt spreads a hot
+                # bucket across 8 writer tasks (≤ that many files per
+                # bucket dir).
+                salt = F.pmod(F.xxhash64(*[c for c in ordered if c != "_bucket"][:2]), F.lit(8))
+                out = out.repartition(F.col("_bucket"), salt)
+            writer = out.write.partitionBy("_bucket").mode("overwrite")
+            if cluster_by is None:
+                # hash-ordered writes (appends / CoW batches): key bloom
+                # filters cover what min-max pruning can't (see
+                # PARQUET_BLOOM_OPTS); range-clustered rewrites already
+                # yield tight min-max bounds
+                for k, v in PARQUET_BLOOM_OPTS.items():
+                    writer = writer.option(k, v)
             writer.parquet(commit_abs)
         finally:
             if persisted is not None:
