@@ -15,8 +15,19 @@ With ``out_dir`` set, every poll is exported as one parquet directory
 ``inc-<from>-<to>/`` (written atomically: stage + rename). That directory
 stream IS a Structured Streaming source — a downstream pipeline tails it
 with ``spark.readStream.schema(...).parquet(out_dir)`` and gets the
-table's changelog with file-granularity exactly-once, composing the
-engine's egress with vanilla Spark streaming.
+table's changelog with file-granularity exactly-once: published windows
+never overlap (on startup the follower adopts the max published ``to`` as
+its cursor when the exports ran ahead of the cursor file — the export IS
+the durable cursor), so each version window appears in exactly one file
+set. Consumers that merge increments into their own store should still
+apply rows LWW by ``change_lsn`` — it is the defensive idempotent apply
+order for any changelog.
+
+Delivery channels: ``out_dir`` (durable parquet increments) and/or an
+``on_changes`` callback, which fires BEFORE the window's cursor advance —
+a crash or callback error re-polls the same window (at-least-once;
+windows are net state, so re-application converges). A follower with
+neither channel only reports counts.
 
 A rollback in a polled window raises ``ValueError`` from changes_since
 (rolled-back rows vanish without tombstones): the follower surfaces it
@@ -30,6 +41,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -54,6 +66,21 @@ class ChangeFollower:
         self.out_dir = out_dir
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
+            # Crash recovery: a poll that published inc-A-B but died before
+            # advancing the cursor file would otherwise re-poll from A after
+            # new commits land and publish an OVERLAPPING inc-A-C — two
+            # exports whose 'u' rows a file-order-agnostic streaming tail
+            # could apply out of LSN order. The published exports ARE the
+            # durable record of what was delivered, so adopt the max
+            # published 'to' as the cursor whenever it is ahead of (or
+            # missing from) the cursor file.
+            published_to = -1
+            for d in glob.glob(os.path.join(out_dir, "inc-*-*")):
+                m = re.fullmatch(r"inc-(\d+)-(\d+)", os.path.basename(d))
+                if m:
+                    published_to = max(published_to, int(m.group(2)))
+            if published_to >= 0 and (self.cursor() is None or published_to > self.cursor()):
+                self._write_cursor(published_to)
             # a crash between export and rename leaves _stage-* orphans
             # (readers only see inc-* dirs). Remove only STALE ones: a
             # supervisor may restart the follower while the old process is
@@ -90,13 +117,21 @@ class ChangeFollower:
         self._write_cursor(version)
 
     # -- polling ---------------------------------------------------------
-    def poll_once(self) -> dict:
-        """One poll: diff (cursor, current], export/emit, advance cursor.
-        Returns {from, to, upserts, deletes, out_path, needs_resync}.
-        First poll with no cursor emits nothing and pins the cursor at the
-        current version (a brand-new consumer starts from a full read it
-        performs itself — emitting the whole table as a 'diff' would
-        duplicate that read)."""
+    def poll_once(self, on_changes=None) -> dict:
+        """One poll: diff (cursor, current], export/emit, DELIVER, then
+        advance the cursor. Returns {from, to, upserts, deletes, out_path,
+        needs_resync}. First poll with no cursor emits nothing and pins the
+        cursor at the current version (a brand-new consumer starts from a
+        full read it performs itself — emitting the whole table as a 'diff'
+        would duplicate that read).
+
+        ``on_changes(result)`` — invoked for a non-empty window BEFORE the
+        cursor advances: if the callback raises, the cursor stays put and
+        the next poll re-delivers the same window (at-least-once; emissions
+        are net state, so a re-applied window converges). Without it and
+        without ``out_dir`` the poll returns only counts — rows are never
+        materialized anywhere, so consumers that need the data must use one
+        of the two delivery channels."""
         v_now = self.table.current_version()
         since = self.cursor()
         if since is None:
@@ -135,10 +170,19 @@ class ChangeFollower:
             out_path = final
         ops = {r["change_op"]: r["n"] for r in
                df.groupBy("change_op").count().withColumnRenamed("count", "n").collect()}
+        res = {"from": since, "to": v_now,
+               "upserts": ops.get("u", 0), "deletes": ops.get("d", 0),
+               "out_path": out_path, "needs_resync": False,
+               "changes": df}
+        # deliver BEFORE advancing: a crash (or callback error) between
+        # delivery and cursor write re-polls the same window — at-least-once
+        # for callback consumers instead of the at-most-once a
+        # cursor-first order would give
+        if on_changes is not None and (res["upserts"] or res["deletes"]):
+            on_changes(res)
         self._write_cursor(v_now)
-        return {"from": since, "to": v_now,
-                "upserts": ops.get("u", 0), "deletes": ops.get("d", 0),
-                "out_path": out_path, "needs_resync": False}
+        res.pop("changes")
+        return res
 
     def run(
         self,
@@ -147,16 +191,16 @@ class ChangeFollower:
         on_changes=None,
     ) -> list[dict]:
         """Follow loop: poll every ``poll_interval_s``; call
-        ``on_changes(poll_result)`` for every non-empty window; stop after
-        ``max_polls`` (None = until needs_resync). Returns the polls."""
+        ``on_changes(poll_result)`` for every non-empty window BEFORE that
+        window's cursor advance (see poll_once — at-least-once delivery);
+        stop after ``max_polls`` (None = until needs_resync). Returns the
+        polls."""
         polls: list[dict] = []
         while max_polls is None or len(polls) < max_polls:
-            res = self.poll_once()
+            res = self.poll_once(on_changes=on_changes)
             polls.append(res)
             if res["needs_resync"]:
                 break
-            if on_changes is not None and (res["upserts"] or res["deletes"]):
-                on_changes(res)
             if max_polls is None or len(polls) < max_polls:
                 time.sleep(poll_interval_s)
         return polls

@@ -93,6 +93,16 @@ class CommittedIds:
     # with "7::" did — crediting it would silently no-op a batch that never
     # ran. Such ids live in the explicit set forever, so callers picking
     # their own batch ids should avoid unbounded numeric-prefixed families.
+    #
+    # Migration hazard (round-3 narrowing): ledgers written when the floor
+    # credited ANY "N::suffix" may have compacted a caller-chosen id like
+    # "7::manual" out of the explicit set; under the narrowed rule that id
+    # no longer reads as committed, so replaying it re-applies the batch —
+    # one redundant append commit (state still converges via LWW; commit
+    # history/stats gain a duplicate). Acceptable because no table written
+    # by this engine ever used such ids (the pipeline derives only
+    # ::compact/::evolve); foreign tables migrating in should re-commit
+    # under pure ids or accept the one-time replay.
     _NUM = re.compile(r"^(\d+)(?:::(?:compact|evolve))?$")
 
     def __init__(self, ids: set[str] | None = None, numeric_floor: int = -1):
@@ -357,8 +367,9 @@ class SnapshotTable:
         from the per-commit sidecar, no footer reads, no Spark job. This is
         a SUPERSET read: surviving files may still hold out-of-range rows,
         so callers apply the row filter on top (point lookups should use
-        ``operators.merge.lookup_conversation``). Files without exact stats
-        (pre-sidecar commits, truncated string stats) are never pruned. At
+        ``operators.merge.lookup_conversation``). Files without recorded
+        bounds (pre-sidecar commits, row groups whose writer dropped the
+        stats) are never pruned. At
         scale this is what makes a point lookup touch one file per compacted
         base dir (range-clustered) plus only the delta files whose batches
         actually contained the key — not every file in the bucket.
@@ -538,22 +549,32 @@ class SnapshotTable:
         on tombstone rows).
 
         file_stats — {relative file path: {key_col: [min,max] | None,
-        lsn_col: [min,max] | None}} for read-side file skipping. A bound is
-        recorded only when parquet marks it EXACT (long strings get
-        truncated stats whose max may undershoot the true max — pruning on
-        an inexact bound could silently drop rows); inexact/absent → null →
-        the file is never pruned."""
+        lsn_col: [min,max] | None}} for read-side file skipping. Bounds
+        need only be VALID, not exact: the parquet spec requires
+        min_value/max_value to remain true lower/upper bounds even when
+        truncated, and superset pruning can never wrongly skip a file on a
+        bound interval that contains the true value interval (see
+        _prune_bounds). Absent stats → null → the file is never pruned."""
         import pyarrow.parquet as papq
 
         rows, max_lsn, nulls = 0, None, 0
         bucket_max_lsn: dict[str, int] = {}
         file_stats: dict[str, dict] = {}
 
-        def _exact_min_max(st) -> list | None:
+        def _prune_bounds(st) -> list | None:
+            # Safe-by-spec pruning bounds, exactness NOT required: the
+            # parquet format mandates that min_value/max_value, even when
+            # truncated, remain VALID lower/upper bounds of the chunk (the
+            # is_*_value_exact flags — not exposed by this pyarrow — only
+            # say whether the bound equals the true extremum). Superset
+            # file pruning needs valid bounds, nothing more: a stored
+            # [min,max] ⊇ the true value interval can never exclude a file
+            # holding an in-range row. Writers that cannot produce a valid
+            # bound (e.g. parquet-mr drops >4 KB binary stats) omit the
+            # stats entirely → has_min_max False → the file is never
+            # pruned. (pyarrow additionally hides legacy min/max written
+            # under the broken pre-PARQUET-686 binary sort order.)
             if st is None or not st.has_min_max:
-                return None
-            if not (getattr(st, "is_min_value_exact", True) and
-                    getattr(st, "is_max_value_exact", True)):
                 return None
             return [st.min, st.max]
 
@@ -564,7 +585,7 @@ class SnapshotTable:
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
             key_mm: list | None = None
             lsn_mm: list | None = None
-            complete = True  # every row group must contribute exact bounds
+            complete = True  # every row group must contribute valid bounds
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 if lsn_col in names:
@@ -573,7 +594,7 @@ class SnapshotTable:
                         max_lsn = st.max if max_lsn is None else max(max_lsn, st.max)
                         prev = bucket_max_lsn.get(bucket)
                         bucket_max_lsn[bucket] = st.max if prev is None else max(prev, st.max)
-                    mm = _exact_min_max(st)
+                    mm = _prune_bounds(st)
                     if mm is None:
                         complete = False
                     else:
@@ -583,7 +604,7 @@ class SnapshotTable:
                     if st is not None and st.null_count is not None:
                         nulls += st.null_count
                 if key_col in names:
-                    mm = _exact_min_max(g.column(names[key_col]).statistics)
+                    mm = _prune_bounds(g.column(names[key_col]).statistics)
                     if mm is None:
                         complete = False
                     else:
@@ -925,12 +946,17 @@ class SnapshotTable:
         Safe against concurrent forward COMMITS (appends/overwrites only
         reference their own freshly-written dirs, which the grace window
         protects). ``rollback`` is the one commit that re-references OLD
-        dirs: it bumps their mtimes before committing (grace window
-        protection restored) and the orphan loop re-reads the CURRENT
-        snapshot before each delete — together these close the race for
-        any rollback-to-expire gap shorter than ``orphan_grace_seconds``;
-        do not run expiration with a zero grace window beside live
-        rollbacks. Ledger writes use the same versioned O_EXCL protocol as
+        dirs: it bumps their mtimes before committing, the orphan loop
+        re-reads the CURRENT snapshot before each delete, and the dir's
+        mtime is re-checked IMMEDIATELY before rmtree — the bump therefore
+        acts as a happens-before barrier: once rollback's utime lands, no
+        delete can follow within the grace window. The narrow residue is a
+        rollback whose utime has NOT yet executed when GC does its final
+        re-stat (both checks then pass on stale state); its window is the
+        utime→commit gap, microseconds, and any rollback older than
+        ``orphan_grace_seconds`` mid-flight is disallowed by contract: do
+        not run expiration with a zero/short grace window beside live
+        rollbacks, and prefer a single maintenance writer. Ledger writes use the same versioned O_EXCL protocol as
         snapshots, so two racing expirations cannot lose each other's ids
         (the loser re-merges and retries); still prefer one maintenance
         writer — racing expirations do redundant work."""
@@ -994,6 +1020,16 @@ class SnapshotTable:
                     cur_live = {}
                 if rel in {d for ds in cur_live.values() for d in ds}:
                     continue
+                # Re-stat IMMEDIATELY before deleting (after the snapshot
+                # recheck): rollback bumps the dir's mtime BEFORE it
+                # commits, so a fresh in-grace mtime here means a rollback
+                # is in flight re-referencing this dir — skip it; the bump
+                # acts as the happens-before barrier between the two.
+                try:
+                    if time.time() - os.path.getmtime(p) < orphan_grace_seconds:
+                        continue
+                except FileNotFoundError:
+                    continue  # another GC removed it
                 shutil.rmtree(p)
                 removed_dirs += 1
         return {

@@ -135,6 +135,65 @@ def test_follower_reexport_after_cursor_crash(spark, tmp_path):
     assert f.cursor() == p1["to"]
 
 
+def test_follower_recovers_cursor_from_exports(spark, tmp_path):
+    """Crash after publishing inc-A-B but before the cursor write, with NEW
+    commits landing before restart: a restarted follower adopts B from the
+    published exports (the export is the durable cursor) and publishes
+    inc-B-C — never an overlapping inc-A-C whose files could race the
+    earlier window in a downstream streaming tail."""
+    import json
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    cursor = str(tmp_path / "cursor.json")
+    out = str(tmp_path / "egress")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "a", None)])]), "b0")
+    f = ChangeFollower(spark, pipe.table, cursor, out_dir=out)
+    f.poll_once()
+    v_a = f.cursor()
+    pipe.apply_batch(_env_rows(spark, [(2, "update", "cA", [(0, "user", "a1", None)])]), "b1")
+    p1 = f.poll_once()           # publishes inc-A-B
+    # simulate the crash: cursor file rolled back, new commits land
+    with open(cursor, "w") as fh:
+        json.dump({"version": v_a}, fh)
+    pipe.apply_batch(_env_rows(spark, [(3, "insert", "cB", [(0, "user", "b", None)])]), "b2")
+    f2 = ChangeFollower(spark, pipe.table, cursor, out_dir=out)
+    assert f2.cursor() == p1["to"], "startup adopted the max published 'to'"
+    p2 = f2.poll_once()
+    assert p2["from"] == p1["to"], "next window starts where the export ended"
+    incs = sorted(os.path.basename(d) for d in
+                  __import__("glob").glob(os.path.join(out, "inc-*")))
+    froms = [n.split("-")[1] for n in incs]
+    assert len(froms) == len(set(froms)) == 2, f"no overlapping windows: {incs}"
+
+
+def test_follower_callback_before_cursor_advance(spark, tmp_path):
+    """on_changes fires BEFORE the cursor advances: a failing callback
+    leaves the cursor put and the next poll re-delivers the same window
+    (at-least-once for callback-only consumers, not at-most-once)."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    cursor = str(tmp_path / "cursor.json")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "a", None)])]), "b0")
+    f = ChangeFollower(spark, pipe.table, cursor)
+    f.poll_once()
+    v0 = f.cursor()
+    pipe.apply_batch(_env_rows(spark, [(2, "insert", "cB", [(0, "user", "b", None)])]), "b1")
+
+    def boom(res):
+        raise RuntimeError("consumer crashed mid-delivery")
+
+    with pytest.raises(RuntimeError):
+        f.poll_once(on_changes=boom)
+    assert f.cursor() == v0, "cursor did NOT advance past an undelivered window"
+
+    delivered = []
+    p = f.poll_once(on_changes=lambda res: delivered.append(
+        {r["conv_id"] for r in res["changes"].collect()}))
+    assert p["upserts"] == 1 and delivered == [{"cB"}], "window re-delivered"
+    assert f.cursor() == p["to"], "cursor advanced only after delivery"
+
+
 def test_follower_expired_cursor_needs_resync(spark, tmp_path):
     """A follower offline past the snapshot retention window surfaces
     needs_resync instead of crashing with FileNotFoundError."""
