@@ -80,16 +80,18 @@ def table_schema_for(upsert_cols: list[T.StructField]) -> T.StructType:
 
 def _tombstone_rows(deletes_b: DataFrame, schema: T.StructType) -> DataFrame:
     """(bucket, conv_id, _lsn) delete watermarks → storable tombstone rows
-    (null payload, _op='d') matching the table schema."""
-    out = deletes_b.select(META_BUCKET, "conv_id", META_LSN)
+    (null payload, _op='d') matching the table schema. One select — a
+    withColumn per field would re-run Catalyst analysis per column
+    (measured tens of ms of per-batch driver constant)."""
+    cols = [F.col(META_BUCKET)]
     for fld in schema.fields:
         if fld.name in ("conv_id", META_LSN):
-            continue
-        if fld.name == META_OP:
-            out = out.withColumn(META_OP, F.lit("d"))
+            cols.append(F.col(fld.name))
+        elif fld.name == META_OP:
+            cols.append(F.lit("d").alias(META_OP))
         else:
-            out = out.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-    return out.select(META_BUCKET, *schema.fieldNames())
+            cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+    return deletes_b.select(*cols)
 
 
 def resolve(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -197,14 +199,19 @@ def apply_cdc_batch(
         table.evolve(new_fields, batch_id=f"{batch_id}::evolve")
         schema = table.schema()
 
+    # single select (not chained withColumn — each one re-runs Catalyst
+    # analysis and the sum is real per-micro-batch driver constant)
     bucket_of = table.bucket_col()
-    ups = upserts.withColumn(META_BUCKET, bucket_of(F.col("conv_id")))
-    if META_OP not in ups.columns:  # pre-patch callers: everything full-row
-        ups = ups.withColumn(META_OP, F.lit("u"))
-    for fld in schema.fields:  # older-schema batches: null-fill evolved cols
-        if fld.name not in ups.columns:
-            ups = ups.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-    ups = ups.select(META_BUCKET, *schema.fieldNames())
+    have_cols = set(upserts.columns)
+    ups_cols = [bucket_of(F.col("conv_id")).alias(META_BUCKET)]
+    for fld in schema.fields:
+        if fld.name in have_cols:
+            ups_cols.append(F.col(fld.name))
+        elif fld.name == META_OP:  # pre-patch callers: everything full-row
+            ups_cols.append(F.lit("u").alias(META_OP))
+        else:  # older-schema batches: null-fill evolved cols
+            ups_cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+    ups = upserts.select(*ups_cols)
     dels = deletes.withColumn(META_BUCKET, bucket_of(F.col("conv_id")))
     batch = ups.unionByName(_tombstone_rows(dels, schema))
 
@@ -563,10 +570,13 @@ def changes_since(
             by_dir.setdefault(d, []).append(b)
     for d, bs in sorted(by_dir.items()):
         base = os.path.join(table.root, d)
-        paths = [os.path.join(base, f"_bucket={b}") for b in sorted(bs, key=int)]
-        paths = [p for p in paths if os.path.isdir(p)]
-        if paths:
-            df = spark.read.option("basePath", base).parquet(*paths)
+        if os.path.isdir(base):
+            # flat commit dirs: _bucket is a data column; restrict to the
+            # buckets whose live entry actually gained this dir (parquet
+            # row-group stats serve the IN-filter — writes sort by _bucket)
+            df = spark.read.parquet(base).where(
+                F.col(META_BUCKET).isin([int(b) for b in bs])
+            )
             for c in ("conv_id", "turn_idx", META_OP, META_LSN):
                 if c not in df.columns:  # dirs written before an evolve
                     df = df.withColumn(c, F.lit(None))

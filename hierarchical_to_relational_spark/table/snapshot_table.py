@@ -24,16 +24,27 @@ north rule needs:
 - **Time travel**: every snapshot is retained; ``read(version=n)`` serves
   historical states (the lineage store records batch→version).
 
-Layout::
+Layout (FLAT commit dirs, round 4)::
 
-    <root>/data/c-<commit-uuid>/_bucket=<k>/part-*.parquet
+    <root>/data/c-<commit-uuid>/part-*.parquet   # _bucket is a DATA column
+    <root>/data/c-<commit-uuid>/_file_stats.json # per-file bucket/key/lsn
+                                                 # bounds (manifest stats)
     <root>/_snapshots/v<10-digit>.json   # {version, batch_id, schema,
-                                          #  live: {bucket: commit_dir}, ...}
+                                          #  live: {bucket: [commit dirs]}, ...}
 
-At 100 TB scale the JSON manifest holds one directory pointer per bucket
-(thousands, not millions, of entries) and commits touch only affected
-buckets — manifest size and commit cost stay O(buckets), independent of
-table size.
+Bucket membership is tracked in metadata (sidecar per-file bucket ranges +
+exact per-bucket accounting computed at write time), not in physical
+``_bucket=k`` subdirectories — the same move Iceberg makes by tracking
+files in manifests instead of Hive-style partition dirs. Measured round 4:
+Spark's dynamic-partition write machinery costs ~0.5-0.7 s near-constant
+per commit at 32 buckets (per-dir writer churn + committer dir moves) vs
+~0.2 s for the flat write — pure per-micro-batch driver/FS tax, and on a
+real object store the per-dir renames are the classic commit bottleneck.
+
+At 100 TB scale the JSON manifest holds a few directory pointers per
+bucket (thousands, not millions, of entries) and commits touch only
+affected buckets — manifest size and commit cost stay O(buckets),
+independent of table size.
 """
 
 from __future__ import annotations
@@ -365,14 +376,24 @@ class SnapshotTable:
         end None = open) additionally skip FILES whose recorded conv_id /
         _lsn min-max cannot intersect the range — manifest-level pruning
         from the per-commit sidecar, no footer reads, no Spark job. This is
-        a SUPERSET read: surviving files may still hold out-of-range rows,
-        so callers apply the row filter on top (point lookups should use
-        ``operators.merge.lookup_conversation``). Files without recorded
-        bounds (pre-sidecar commits, row groups whose writer dropped the
-        stats) are never pruned. At
-        scale this is what makes a point lookup touch one file per compacted
-        base dir (range-clustered) plus only the delta files whose batches
-        actually contained the key — not every file in the bucket.
+        a SUPERSET file selection: surviving files may still hold
+        out-of-range rows, so callers apply the row filter on top (point
+        lookups should use ``operators.merge.lookup_conversation``). Files
+        without recorded bounds (pre-sidecar commits, row groups whose
+        writer dropped the stats) are never pruned. At scale this is what
+        makes a point lookup touch one file per compacted base dir
+        (range-clustered) plus only the delta files whose batches actually
+        contained the key — not every file in the bucket.
+
+        Bucket pruning is sidecar-driven too (flat commit dirs, round 4):
+        files are skipped when their recorded ``_bucket`` range cannot
+        contain a wanted bucket — file-granular on range-clustered bases,
+        superset on hash-scattered deltas — and an exact
+        ``_bucket IN (...)`` filter is applied on top, which parquet
+        row-group stats serve cheaply because writes sort within
+        partitions by ``_bucket``. The returned rows are therefore EXACTLY
+        the wanted buckets' rows, same contract as the old per-bucket-dir
+        layout.
 
         ``as_of_ts`` (epoch seconds) is timestamp time travel — resolved to
         the latest retained version committed at or before it."""
@@ -384,7 +405,7 @@ class SnapshotTable:
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         live: dict[str, list[str]] = snap["live"]
         wanted = {str(b) for b in buckets} if buckets is not None else set(live.keys())
-        # group bucket partitions by owning commit dir → one scan per commit
+        # group wanted buckets by owning commit dir → one scan per commit
         by_commit: dict[str, list[str]] = {}
         for b, commit_dirs in live.items():
             if b in wanted:
@@ -396,10 +417,10 @@ class SnapshotTable:
             base = os.path.join(self.root, commit_dir)
             paths = self._pruned_paths(commit_dir, set(bks), key_range, lsn_range)
             if paths is None:
-                paths = [os.path.join(base, f"_bucket={b}") for b in sorted(bks, key=int)]
+                paths = [base]  # no sidecar: scan the whole flat commit dir
             if not paths:
                 continue  # every file in this commit dir pruned
-            df = spark.read.option("basePath", base).parquet(*paths)
+            df = spark.read.parquet(*paths)
             for fld in schema.fields:  # null-fill columns added after this commit
                 if fld.name not in df.columns:
                     df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
@@ -410,6 +431,9 @@ class SnapshotTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if buckets is not None:
+            # exact bucket membership on top of the superset file selection
+            out = out.where(F.col("_bucket").isin([int(b) for b in wanted]))
         return out
 
     def _file_stats(self, commit_dir: str) -> dict | None:
@@ -435,25 +459,24 @@ class SnapshotTable:
         key_range: tuple | None,
         lsn_range: tuple | None,
     ) -> list[str] | None:
-        """File list for a commit dir after min-max pruning, or None when
-        pruning doesn't apply (no predicate / no sidecar) — caller then
-        scans whole bucket dirs."""
-        if key_range is None and lsn_range is None:
-            return None
+        """File list for a commit dir after sidecar pruning (bucket range ∩
+        wanted buckets, then key/lsn min-max), or None when no sidecar
+        exists — caller then scans the whole commit dir."""
         stats = self._file_stats(commit_dir)
         if stats is None:
             return None
+        wanted_ints = {int(b) for b in wanted_buckets}
 
         def overlaps(mm: list | None, rng: tuple | None) -> bool:
             if rng is None or mm is None:
-                return True  # no predicate, or no exact stats → keep
+                return True  # no predicate, or no recorded bounds → keep
             lo, hi = rng
             return (lo is None or mm[1] >= lo) and (hi is None or mm[0] <= hi)
 
         keep = []
         for rel, st in sorted(stats.items()):
-            bucket = os.path.dirname(rel).split("=", 1)[1]
-            if bucket not in wanted_buckets:
+            bmm = st.get("_bucket")
+            if bmm is not None and not any(bmm[0] <= b <= bmm[1] for b in wanted_ints):
                 continue
             if overlaps(st.get("conv_id"), key_range) and overlaps(st.get("_lsn"), lsn_range):
                 keep.append(os.path.join(self.root, commit_dir, rel))
@@ -468,6 +491,23 @@ class SnapshotTable:
         repartition: bool,
         cluster_by: str | None = None,
     ) -> tuple[str, set[str]]:
+        """Write one FLAT commit dir (``data/c-<uuid>/part-*.parquet``) with
+        ``_bucket`` stored as a data column; per-file bucket membership and
+        stats go to the sidecar instead of physical ``_bucket=k`` subdirs.
+
+        Why flat (round-4 measurement): Spark's dynamic-partition write path
+        costs ~0.5-0.7 s of near-constant overhead per commit at 32 buckets
+        — per-partition-dir writer open/close plus the committer's per-dir
+        file moves — versus ~0.2 s for a plain parquet write of the same
+        batch. That constant is pure driver/FS tax on every micro-batch and
+        is exactly what caps N→4N scaling efficiency at small batch sizes
+        (BENCH/BASELINE.md batch-sizing note). It is also the pain Iceberg's
+        manifest-tracked files exist to avoid on object stores: one commit =
+        a handful of files in one directory, never hundreds of per-bucket
+        dir renames. Bucket pruning moves from directory names to sidecar
+        stats (file-level bucket ranges + row-group ``_bucket`` min-max via
+        the in-partition sort below), which at 100 TB prunes at FILE
+        granularity — strictly finer than dir granularity."""
         commit_rel = os.path.join(DATA_DIR, f"c-{uuid.uuid4().hex}")
         commit_abs = os.path.join(self.root, commit_rel)
         ordered = ["_bucket"] + [n for n in schema.fieldNames()]
@@ -486,27 +526,30 @@ class SnapshotTable:
             if cluster_by is not None:
                 # range-cluster (background rewrites: compact / rebucket):
                 # each shuffle partition covers a contiguous (_bucket, key)
-                # range, so every written file gets a TIGHT key min-max in
-                # its footer — that's what makes file-level pruning
-                # effective on the base (salted hash writes give each file
-                # a near-full key range). A zipf-hot key can fatten one
-                # range partition, but this is the amortized background
-                # path, not the per-batch hot path. ``cluster_by`` may be
-                # a column name or a DataFrame→Column factory (e.g.
-                # functions.zorder.zorder_expr for multi-column z-order).
+                # range, so every written file gets a TIGHT per-file
+                # bucket range and key min-max — that's what makes
+                # file-level pruning effective on the base (salted hash
+                # writes give each file a near-full key range). A zipf-hot
+                # key can fatten one range partition, but this is the
+                # amortized background path, not the per-batch hot path.
+                # ``cluster_by`` may be a column name or a
+                # DataFrame→Column factory (e.g. functions.zorder.
+                # zorder_expr for multi-column z-order).
                 cluster_col = cluster_by(out) if callable(cluster_by) else F.col(cluster_by)
                 out = out.repartitionByRange(F.col("_bucket"), cluster_col)
             elif repartition:
-                # one shuffle so each bucket dir gets few files (not
-                # tasks×buckets). Salted within the bucket: a zipf-hot
-                # conversation can own >15% of a batch, and repartition on
-                # _bucket alone would write that bucket in ONE task — a
-                # serial tail that caps scaling. The salt spreads a hot
-                # bucket across 8 writer tasks (≤ that many files per
-                # bucket dir).
+                # one shuffle so the commit gets few files (not
+                # tasks×buckets). Salted: a zipf-hot conversation can own
+                # >15% of a batch, and repartition on _bucket alone would
+                # write that bucket's rows in ONE task — a serial tail
+                # that caps scaling. The in-partition sort makes rows
+                # bucket- then key-contiguous, so parquet row-group stats
+                # on (_bucket, conv_id) prune bucket- and key-filtered
+                # reads inside these otherwise hash-scattered delta files.
                 salt = F.pmod(F.xxhash64(*[c for c in ordered if c != "_bucket"][:2]), F.lit(8))
-                out = out.repartition(F.col("_bucket"), salt)
-            writer = out.write.partitionBy("_bucket").mode("overwrite")
+                sort_cols = ["_bucket"] + (["conv_id"] if "conv_id" in ordered else [])
+                out = out.repartition(F.col("_bucket"), salt).sortWithinPartitions(*sort_cols)
+            writer = out.write.mode("overwrite")
             if cluster_by is None:
                 # hash-ordered writes (appends / CoW batches): key bloom
                 # filters cover what min-max pruning can't (see
@@ -518,13 +561,7 @@ class SnapshotTable:
         finally:
             if persisted is not None:
                 persisted.unpersist()
-        written: dict[str, int] = {}  # bucket -> bytes (manifest size stats)
-        for p in glob.glob(os.path.join(commit_abs, "_bucket=*")):
-            b = os.path.basename(p).split("=", 1)[1]
-            written[b] = sum(
-                os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
-            )
-        self.last_commit_stats, file_stats = self._footer_stats(commit_abs)
+        self.last_commit_stats, file_stats, written = self._footer_stats(commit_abs)
         # per-file min-max sidecar (Iceberg manifest-entry stats analog):
         # read-side file pruning reads this tiny JSON instead of footers.
         # Lives inside the commit dir ("_"-prefixed → invisible to Spark
@@ -539,26 +576,41 @@ class SnapshotTable:
         lsn_col: str = "_lsn",
         tombstone_null_col: str = "turn_idx",
         key_col: str = "conv_id",
-    ) -> tuple[dict, dict]:
-        """Commit metrics + per-file pruning stats from parquet footers — no
-        Spark job. Returns ``(metrics, file_stats)``:
+        bucket_col: str = "_bucket",
+    ) -> tuple[dict, dict, dict]:
+        """Commit metrics + per-file pruning stats + per-bucket accounting,
+        driver-side with NO Spark job. Returns ``(metrics, file_stats,
+        written)``:
 
-        metrics — row count, max applied LSN (column max stats, global AND
-        per bucket — the north rule's per-partition applied-LSN watermark),
-        tombstone count (null-count of the key column, which is null exactly
-        on tombstone rows).
+        metrics — row count, max applied LSN (global AND per bucket — the
+        north rule's per-partition applied-LSN watermark, EXACT: see
+        below), tombstone count (null-count of the key column, which is
+        null exactly on tombstone rows).
 
         file_stats — {relative file path: {key_col: [min,max] | None,
-        lsn_col: [min,max] | None}} for read-side file skipping. Bounds
-        need only be VALID, not exact: the parquet spec requires
-        min_value/max_value to remain true lower/upper bounds even when
-        truncated, and superset pruning can never wrongly skip a file on a
-        bound interval that contains the true value interval (see
-        _prune_bounds). Absent stats → null → the file is never pruned."""
+        lsn_col: [min,max] | None, bucket_col: [bmin,bmax]}} for read-side
+        file skipping. Bounds need only be VALID, not exact: the parquet
+        spec requires min_value/max_value to remain true lower/upper
+        bounds even when truncated, and superset pruning can never wrongly
+        skip a file on a bound interval that contains the true value
+        interval (see _prune_bounds). Absent stats → null → never pruned.
+
+        written — {bucket: bytes} manifest accounting, from ONE pyarrow
+        read of the (bucket, lsn) integer columns of the just-written
+        files: numpy group-by gives exact per-bucket row counts and
+        max-LSN; bytes are attributed rows-proportionally within each
+        file. The files were written this instant (page-cached) and two
+        int64 columns of even a 10^7-row production batch are ~160 MB of
+        vectorized C scanning — cheap, exact, and no Spark job, where
+        footer row-group stats alone could not attribute LSN watermarks to
+        buckets inside hash-scattered delta files."""
+        import numpy as np
         import pyarrow.parquet as papq
 
         rows, max_lsn, nulls = 0, None, 0
         bucket_max_lsn: dict[str, int] = {}
+        bucket_rows: dict[int, int] = {}
+        written: dict[str, float] = {}
         file_stats: dict[str, dict] = {}
 
         def _prune_bounds(st) -> list | None:
@@ -578,13 +630,14 @@ class SnapshotTable:
                 return None
             return [st.min, st.max]
 
-        for f in glob.glob(os.path.join(commit_abs, "_bucket=*", "*.parquet")):
-            bucket = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
-            md = papq.ParquetFile(f).metadata
+        for f in glob.glob(os.path.join(commit_abs, "*.parquet")):
+            pf = papq.ParquetFile(f)
+            md = pf.metadata
             rows += md.num_rows
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
             key_mm: list | None = None
             lsn_mm: list | None = None
+            bkt_mm: list | None = None
             complete = True  # every row group must contribute valid bounds
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
@@ -592,8 +645,6 @@ class SnapshotTable:
                     st = g.column(names[lsn_col]).statistics
                     if st is not None and st.has_min_max:
                         max_lsn = st.max if max_lsn is None else max(max_lsn, st.max)
-                        prev = bucket_max_lsn.get(bucket)
-                        bucket_max_lsn[bucket] = st.max if prev is None else max(prev, st.max)
                     mm = _prune_bounds(st)
                     if mm is None:
                         complete = False
@@ -609,19 +660,47 @@ class SnapshotTable:
                         complete = False
                     else:
                         key_mm = mm if key_mm is None else [min(key_mm[0], mm[0]), max(key_mm[1], mm[1])]
+                if bucket_col in names:
+                    mm = _prune_bounds(g.column(names[bucket_col]).statistics)
+                    if mm is not None:
+                        bkt_mm = mm if bkt_mm is None else [min(bkt_mm[0], mm[0]), max(bkt_mm[1], mm[1])]
             rel = os.path.relpath(f, commit_abs)
             file_stats[rel] = {
                 key_col: key_mm if complete else None,
                 lsn_col: lsn_mm if complete else None,
+                bucket_col: bkt_mm,
             }
+            # exact per-bucket rows + max-LSN from the data columns
+            if bucket_col in names and md.num_rows > 0:
+                cols = [bucket_col] + ([lsn_col] if lsn_col in names else [])
+                tbl = pf.read(columns=cols)
+                b = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(b, kind="stable")  # near-O(n): files sorted by bucket
+                bs = b[order]
+                starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+                uniq = bs[starts]
+                counts = np.diff(np.r_[starts, len(bs)])
+                fsize = os.path.getsize(f)
+                for bk, cnt in zip(uniq.tolist(), counts.tolist()):
+                    bucket_rows[bk] = bucket_rows.get(bk, 0) + cnt
+                    written[str(bk)] = written.get(str(bk), 0.0) + fsize * cnt / md.num_rows
+                if len(cols) == 2:
+                    lsn = tbl.column(1).to_numpy(zero_copy_only=False)
+                    lsn = np.where(np.isnan(lsn), -(2**62), lsn) if lsn.dtype.kind == "f" else lsn
+                    gmax = np.maximum.reduceat(lsn[order], starts)
+                    for bk, mx in zip(uniq.tolist(), gmax.tolist()):
+                        key = str(bk)
+                        prev = bucket_max_lsn.get(key)
+                        bucket_max_lsn[key] = int(mx) if prev is None else max(prev, int(mx))
         metrics = {
             "rows_written": rows,
             "max_lsn": max_lsn,
             "deletes": nulls,
             "upserts": rows - nulls,
             "bucket_max_lsn": bucket_max_lsn,
+            "bucket_rows": {str(k): v for k, v in bucket_rows.items()},
         }
-        return metrics, file_stats
+        return metrics, file_stats, {b: int(round(v)) for b, v in written.items()}
 
     def _commit(
         self,
@@ -831,16 +910,21 @@ class SnapshotTable:
         snap = self.snapshot()
         cb = snap.get("commit_bytes", {})
         out: dict[int, dict] = {}
+        dir_size: dict[str, int] = {}
         for b, dirs in snap["live"].items():
             total = 0
             for d in dirs[1:]:
                 if d in cb and b in cb[d]:
                     total += cb[d][b]
                 else:
-                    total += sum(
-                        os.path.getsize(f)
-                        for f in glob.glob(os.path.join(self.root, d, f"_bucket={b}", "*.parquet"))
-                    )
+                    # pre-stats dir: attribute the WHOLE flat dir's bytes —
+                    # conservative (overstates pressure, never hides it)
+                    if d not in dir_size:
+                        dir_size[d] = sum(
+                            os.path.getsize(f)
+                            for f in glob.glob(os.path.join(self.root, d, "*.parquet"))
+                        )
+                    total += dir_size[d]
             out[int(b)] = {"depth": len(dirs), "delta_bytes": total}
         return out
 
@@ -860,15 +944,18 @@ class SnapshotTable:
         snap = self.snapshot()
         cb = snap.get("commit_bytes", {})
         total = 0
+        fallback_dirs: set[str] = set()  # pre-stats dirs: count each ONCE
         for b, dirs in snap["live"].items():  # (dir, bucket) pairs are unique
             for d in dirs:
                 if d in cb and b in cb[d]:
                     total += cb[d][b]
                 else:
-                    total += sum(
-                        os.path.getsize(f)
-                        for f in glob.glob(os.path.join(self.root, d, f"_bucket={b}", "*.parquet"))
-                    )
+                    fallback_dirs.add(d)
+        for d in fallback_dirs:
+            total += sum(
+                os.path.getsize(f)
+                for f in glob.glob(os.path.join(self.root, d, "*.parquet"))
+            )
         return total
 
     def history(self) -> list[dict]:

@@ -88,8 +88,8 @@ def test_orphan_files_invisible(spark, tmp_path):
     t.commit_overwrite_buckets(df, _buckets(df), "b1")
     # simulate a crashed writer: data lands, snapshot never created
     orphan_dir = os.path.join(t.root, "data", "c-orphan")
-    _bucketed(spark, t, [("zz", 999)]).write.partitionBy("_bucket").parquet(orphan_dir)
-    assert glob.glob(os.path.join(orphan_dir, "_bucket=*"))
+    _bucketed(spark, t, [("zz", 999)]).write.parquet(orphan_dir)
+    assert glob.glob(os.path.join(orphan_dir, "*.parquet"))
     out = {tuple(r) for r in t.read(spark).select("k", "v").collect()}
     assert out == {("a", 1)}
 
@@ -308,7 +308,7 @@ def test_delta_bytes_from_manifest(spark, tmp_path):
     fs = sum(
         os.path.getsize(f)
         for d in live[1:]
-        for f in glob.glob(os.path.join(t.root, d, "_bucket=0", "*.parquet"))
+        for f in glob.glob(os.path.join(t.root, d, "*.parquet"))
     )
     assert n == fs
 
@@ -616,7 +616,7 @@ def test_bloom_filters_on_delta_appends(spark, tmp_path, monkeypatch):
         d = t.snapshot()["live"]["0"][0]
         import glob as g, os as o
         return sum(o.path.getsize(p)
-                   for p in g.glob(o.path.join(t.root, d, "_bucket=*", "*.parquet")))
+                   for p in g.glob(o.path.join(t.root, d, "*.parquet")))
 
     with_bloom = commit_bytes(tmp_path / "tb", dict(st.PARQUET_BLOOM_OPTS))
     without = commit_bytes(tmp_path / "tp", {})
