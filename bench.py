@@ -68,7 +68,23 @@ HEADLINE = [
 # shuffle), which is also timed.
 def _pure_ops():
     from pyspark.sql import functions as F
+    from hierarchical_to_relational_spark.operators import dedup as dd
     from hierarchical_to_relational_spark.operators import similarity as sim
+    from hierarchical_to_relational_spark.operators import text as tx
+
+    # The _fast contract queries wrap the operator in a dup-consistency /
+    # shape harness (full-width join + window over md5(text)) that
+    # DOMINATES the wall time at bench scale — r3 measured the "~10x
+    # cheaper" xxhash64 simhash slower than its md5 twin purely because of
+    # the harness. Bench the bare operators so the md5-vs-xxhash64 design
+    # claim is what actually gets measured.
+    def simhash_fast(spark, sf_dir):
+        docs = E._spread(E._t(spark, sf_dir, "documents"), spark)
+        return dd.simhash_fingerprint(docs, "doc_id", "text", hash_fn="xxhash64")
+
+    def profile_fast(spark, sf_dir):
+        docs = E._spread(E._t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+        return tx.profile_documents(docs)  # default = xxhash64 fingerprint
 
     def ivf(spark, sf_dir):
         emb = E._t(spark, sf_dir, "embeddings")
@@ -85,7 +101,8 @@ def _pure_ops():
         q = emb.where(F.col("vec_id") < 5)
         return sim.lsh_topk(q, emb, k=10, n_planes=4, probe_hamming=1)
 
-    return {"ann_ivf_topk": ivf, "ann_ivf_topk_arrow": ivf_arrow, "ann_lsh_topk": lsh}
+    return {"ann_ivf_topk": ivf, "ann_ivf_topk_arrow": ivf_arrow, "ann_lsh_topk": lsh,
+            "simhash_docs_fast": simhash_fast, "text_profile_docs_fast": profile_fast}
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
