@@ -191,12 +191,42 @@ def apply_cdc_batch(
     t0 = time.monotonic()
     schema = table.schema()
 
-    # --- additive schema evolution (widen target before merge) ---
-    have = set(schema.fieldNames())
-    incoming = [f for f in upserts.schema.fields if f.name not in (META_LSN, META_TS)]
-    new_fields = [T.StructField(f.name, f.dataType, True) for f in incoming if f.name not in have]
-    if new_fields:
-        table.evolve(new_fields, batch_id=f"{batch_id}::evolve")
+    # --- schema evolution (widen target before merge): additive new
+    # columns AND lossless type widenings (int→long, float→double,
+    # decimal precision up — real CDC feeds widen types routinely).
+    # Metadata-only commit; old files are cast up at read. The check is
+    # pure driver-side dict comparison — no Spark job, and the ::evolve
+    # commit only happens when something actually changed.
+    from hierarchical_to_relational_spark.table.snapshot_table import (
+        _cast_equivalent,
+        _widens,
+    )
+
+    have = {f.name: f.dataType for f in schema.fields}
+    incoming = [f for f in upserts.schema.fields if f.name not in (META_LSN, META_TS, META_OP)]
+    changed = False
+    for f in incoming:
+        cur = have.get(f.name)
+        if cur is None or _widens(cur, f.dataType):
+            changed = True
+        elif (cur != f.dataType and not _widens(f.dataType, cur)
+              and not _cast_equivalent(f.dataType, cur)):
+            raise ValueError(
+                f"incompatible type change for {f.name!r}: "
+                f"{cur.simpleString()} -> {f.dataType.simpleString()}"
+            )
+    if changed:
+        inc_by = {f.name: f for f in incoming}
+        target = T.StructType(
+            [
+                T.StructField(f.name, inc_by[f.name].dataType, f.nullable)
+                if f.name in inc_by and _widens(f.dataType, inc_by[f.name].dataType)
+                else f
+                for f in schema.fields
+            ]
+            + [T.StructField(f.name, f.dataType, True) for f in incoming if f.name not in have]
+        )
+        table.evolve_to(target, batch_id=f"{batch_id}::evolve")
         schema = table.schema()
 
     # single select (not chained withColumn — each one re-runs Catalyst
@@ -206,7 +236,8 @@ def apply_cdc_batch(
     ups_cols = [bucket_of(F.col("conv_id")).alias(META_BUCKET)]
     for fld in schema.fields:
         if fld.name in have_cols:
-            ups_cols.append(F.col(fld.name))
+            # cast to the (possibly wider) table type; no-op casts fold away
+            ups_cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
         elif fld.name == META_OP:  # pre-patch callers: everything full-row
             ups_cols.append(F.lit("u").alias(META_OP))
         else:  # older-schema batches: null-fill evolved cols
@@ -440,6 +471,69 @@ def lookup_conversation(
     return folded.select(*user_cols)
 
 
+def scan_range(
+    spark: SparkSession,
+    table: SnapshotTable,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Resolution-SAFE value-range query over any scalar user column
+    (``ts`` windows, ``role`` equality via lo==hi, ``turn_idx`` bands —
+    no secondary index): returns the CURRENT live rows whose ``col`` is in
+    [lo, hi] (inclusive; None = open; SQL semantics — NULL never matches).
+
+    Raw ``table.read(col_ranges=...)`` file pruning alone cannot answer
+    this correctly: a pruned file may hold the tombstone or a NEWER
+    version of a key whose stale in-range row survives in a kept file.
+    Two phases close that hole at pruned-scan cost:
+
+    1. candidate keys — scan ONLY the files whose sidecar ``col`` bounds
+       overlap the range (plus files without bounds), row-filter exactly,
+       and take the distinct key span. Every key whose CURRENT row matches
+       is found here (its matching row physically lives in a kept file).
+    2. resolution — read the candidates' key span via ``key_range``
+       pruning (which IS mask-complete: tombstones and patches carry
+       conv_id/_lsn), resolve LWW + tombstones + patch folds, semi-join
+       back to the candidate keys, and re-apply the row filter so keys
+       whose current value moved OUT of the range drop away.
+
+    At 100 TB on a time-ordered ingest this touches the delta/base files
+    of the queried window plus the candidates' key neighborhoods — not
+    the table. One tiny driver collect (2 scalars: candidate key bounds)."""
+    schema = table.schema(version)
+    pred = None
+    if lo is not None:
+        pred = F.col(col) >= F.lit(lo)
+    if hi is not None:
+        p2 = F.col(col) <= F.lit(hi)
+        pred = p2 if pred is None else pred & p2
+    if pred is None:
+        raise ValueError("scan_range needs at least one bound")
+    cand = (
+        table.read(spark, version=version, col_ranges={col: (lo, hi)})
+        .where(pred)
+        .select(META_BUCKET, "conv_id", "turn_idx")
+        .distinct()
+    )
+    span = cand.agg(
+        F.min("conv_id"), F.max("conv_id"), F.collect_set(META_BUCKET)
+    ).first()  # 2 scalars + ≤ n_buckets ints — bounded driver collect
+    if span[0] is None:
+        user_cols = [n for n in schema.fieldNames() if not n.startswith("_")]
+        return spark.createDataFrame([], T.StructType([schema[c] for c in user_cols]))
+    full = table.read(
+        spark, version=version, buckets=sorted(span[2]), key_range=(span[0], span[1])
+    )
+    resolved = resolve(full, schema)
+    live = resolved.where(F.col(META_OP) != "d")
+    hits = live.join(cand, [META_BUCKET, "conv_id", "turn_idx"], "left_semi")
+    folded = collapse_patches(hits, schema).where(pred)
+    user_cols = [n for n in schema.fieldNames() if not n.startswith("_")]
+    return folded.select(*user_cols)
+
+
 def _diff_live_dirs(
     table: SnapshotTable, since_version: int, version: int
 ) -> tuple[dict[str, list[str]], set[str]]:
@@ -641,6 +735,27 @@ def changes_since(
         F.lit("d").alias("change_op"),
     )
     return ups_out.unionByName(dels_out)
+
+
+def changes_between_timestamps(
+    spark: SparkSession,
+    table: SnapshotTable,
+    since_ts: float,
+    until_ts: float | None = None,
+) -> DataFrame:
+    """Timestamp-cursor incremental read (Iceberg
+    ``FOR TIMESTAMP AS OF``-style CDF): the net state diff between the
+    table states AS OF two wall-clock instants — what a human operator
+    actually types. Pure composition: each timestamp resolves to the
+    latest retained snapshot committed at or before it
+    (``version_as_of``), then ``changes_since`` diffs the two versions
+    with all its guarantees (net semantics, rollback → ValueError,
+    expired window → FileNotFoundError = resync)."""
+    v1 = table.version_as_of(since_ts)
+    v2 = table.current_version() if until_ts is None else table.version_as_of(until_ts)
+    if v2 < v1:
+        raise ValueError(f"until_ts resolves to v{v2} before since_ts's v{v1}")
+    return changes_since(spark, table, v1, version=v2)
 
 
 def read_transcripts(

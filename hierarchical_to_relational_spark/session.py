@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (Spark's legacy default) writes NO column statistics, so
+        # timestamp predicates can't prune row groups or feed the file
+        # min-max sidecar; TIMESTAMP_MICROS is the modern parquet type
+        # with full stats + pushdown
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")

@@ -59,11 +59,19 @@ class ChangeFollower:
         table: SnapshotTable,
         cursor_path: str,
         out_dir: str | None = None,
+        since_ts: float | None = None,
     ):
+        """``since_ts`` (epoch seconds): where a BRAND-NEW follower starts
+        — the first poll emits everything committed after the latest
+        snapshot at/before that wall-clock instant, instead of the default
+        "pin at current, emit nothing". Ignored once a cursor exists (a
+        resumed follower keeps its exact position; restarting from a
+        timestamp would re-emit or skip windows)."""
         self.spark = spark
         self.table = table
         self.cursor_path = cursor_path
         self.out_dir = out_dir
+        self.since_ts = since_ts
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             # Crash recovery: a poll that published inc-A-B but died before
@@ -134,6 +142,11 @@ class ChangeFollower:
         of the two delivery channels."""
         v_now = self.table.current_version()
         since = self.cursor()
+        if since is None and self.since_ts is not None:
+            # timestamp start point: resume as if a cursor had been pinned
+            # at the snapshot current at since_ts — the first poll emits
+            # the diff from there
+            since = self.table.version_as_of(self.since_ts)
         if since is None:
             self._write_cursor(v_now)
             return {"from": None, "to": v_now, "upserts": 0, "deletes": 0,

@@ -81,6 +81,58 @@ class CommitConflictError(RuntimeError):
     pass
 
 
+# Lossless type widenings accepted by schema evolution (the Iceberg v2
+# promotion set): smaller int → bigger int, float → double, decimal
+# precision up at the SAME scale. Everything else (narrowing, string↔int,
+# scale changes) is rejected — a CDC feed that "widens" lossily is a bug
+# upstream, not something to paper over.
+_INT_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _bound_to_json(v):
+    """Parquet stat value → JSON-storable, ORDER-PRESERVING bound, or None
+    when the type has no safe total order for pruning. Timestamps → epoch
+    micros (UTC; naive values are treated as UTC — the engine writes with
+    session timezone UTC), dates → ordinal day. Decimals/bytes/bools are
+    not recorded (no safe lexicographic order / no pruning value)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    return None
+
+
+def _widens(frm: T.DataType, to: T.DataType) -> bool:
+    """True iff ``to`` is a STRICT lossless widening of ``frm``."""
+    if frm == to:
+        return False
+    f, t = frm.typeName(), to.typeName()
+    if f in _INT_ORDER and t in _INT_ORDER:
+        return _INT_ORDER[f] < _INT_ORDER[t]
+    if f == "float" and t == "double":
+        return True
+    if isinstance(frm, T.DecimalType) and isinstance(to, T.DecimalType):
+        return to.scale == frm.scale and to.precision > frm.precision
+    return False
+
+
+def _cast_equivalent(a: T.DataType, b: T.DataType) -> bool:
+    """Types that are interchangeable by a value-preserving cast under the
+    engine's UTC session timezone (parquet sources surface TIMESTAMP_NTZ
+    for what the table models as TIMESTAMP): no evolution, no error — the
+    table keeps its type and batches cast at write."""
+    pair = {a.typeName(), b.typeName()}
+    return pair == {"timestamp", "timestamp_ntz"}
+
+
 class ConcurrentOverwriteError(RuntimeError):
     """A bucket this overwrite wants to replace was itself overwritten (or
     rewritten in a non-append way) since the base version the rewrite was
@@ -363,6 +415,7 @@ class SnapshotTable:
         key_range: tuple | None = None,
         lsn_range: tuple | None = None,
         as_of_ts: float | None = None,
+        col_ranges: dict | None = None,
     ) -> DataFrame:
         """Scan the live table state (or a historical version), optionally
         pruned to a bucket subset. Old files are projected up to the current
@@ -384,6 +437,20 @@ class SnapshotTable:
         makes a point lookup touch one file per compacted base dir
         (range-clustered) plus only the delta files whose batches actually
         contained the key — not every file in the bucket.
+
+        ``col_ranges={col: (lo, hi)}`` prunes on ANY scalar user column's
+        recorded bounds (ts, role, turn_idx, ... — no secondary index
+        needed; timestamps/dates compare as epoch micros / ordinal days,
+        see _bound_to_json). SQL range semantics: NULL never matches.
+        CAUTION — value-range pruning is NOT LWW-resolution-safe on its
+        own: a pruned file may hold the tombstone or the NEWER version of
+        a key whose older in-range row survives in a kept file, so
+        resolving only the kept files could resurrect dead/stale rows.
+        Use ``operators.merge.scan_range`` (two-phase: pruned candidate
+        scan → full resolution of only the affected keys) for user-facing
+        range queries; raw ``col_ranges`` reads are for callers that
+        handle masking themselves. ``key_range``/``lsn_range`` do not
+        have this hazard (tombstones carry both columns).
 
         Bucket pruning is sidecar-driven too (flat commit dirs, round 4):
         files are skipped when their recorded ``_bucket`` range cannot
@@ -411,20 +478,28 @@ class SnapshotTable:
             if b in wanted:
                 for commit_dir in commit_dirs:
                     by_commit.setdefault(commit_dir, []).append(b)
-        out_cols = ["_bucket"] + schema.fieldNames()
         parts: list[DataFrame] = []
         for commit_dir, bks in sorted(by_commit.items()):
             base = os.path.join(self.root, commit_dir)
-            paths = self._pruned_paths(commit_dir, set(bks), key_range, lsn_range)
+            paths = self._pruned_paths(commit_dir, set(bks), key_range, lsn_range, col_ranges)
             if paths is None:
                 paths = [base]  # no sidecar: scan the whole flat commit dir
             if not paths:
                 continue  # every file in this commit dir pruned
             df = spark.read.parquet(*paths)
-            for fld in schema.fields:  # null-fill columns added after this commit
-                if fld.name not in df.columns:
-                    df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
-            parts.append(df.select(*out_cols))
+            # project old files up to the current schema in ONE select:
+            # null-fill columns added after this commit, cast columns the
+            # schema has since WIDENED (files keep narrow physical types)
+            df_types = {f.name: f.dataType for f in df.schema.fields}
+            sel = [F.col("_bucket").cast("int").alias("_bucket")]
+            for fld in schema.fields:
+                if fld.name not in df_types:
+                    sel.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+                elif df_types[fld.name] != fld.dataType:
+                    sel.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+                else:
+                    sel.append(F.col(fld.name))
+            parts.append(df.select(*sel))
         if not parts:
             empty = T.StructType([T.StructField("_bucket", T.IntegerType(), True)] + list(schema.fields))
             return spark.createDataFrame([], empty)
@@ -458,14 +533,22 @@ class SnapshotTable:
         wanted_buckets: set[str],
         key_range: tuple | None,
         lsn_range: tuple | None,
+        col_ranges: dict | None = None,
     ) -> list[str] | None:
         """File list for a commit dir after sidecar pruning (bucket range ∩
-        wanted buckets, then key/lsn min-max), or None when no sidecar
-        exists — caller then scans the whole commit dir."""
+        wanted buckets, then key/lsn min-max, then any ``col_ranges``
+        bounds), or None when no sidecar exists — caller then scans the
+        whole commit dir."""
         stats = self._file_stats(commit_dir)
         if stats is None:
             return None
         wanted_ints = {int(b) for b in wanted_buckets}
+        norm_ranges = None
+        if col_ranges:
+            norm_ranges = {
+                c: (_bound_to_json(lo), _bound_to_json(hi))
+                for c, (lo, hi) in col_ranges.items()
+            }
 
         def overlaps(mm: list | None, rng: tuple | None) -> bool:
             if rng is None or mm is None:
@@ -478,8 +561,13 @@ class SnapshotTable:
             bmm = st.get("_bucket")
             if bmm is not None and not any(bmm[0] <= b <= bmm[1] for b in wanted_ints):
                 continue
-            if overlaps(st.get("conv_id"), key_range) and overlaps(st.get("_lsn"), lsn_range):
-                keep.append(os.path.join(self.root, commit_dir, rel))
+            if not (overlaps(st.get("conv_id"), key_range) and overlaps(st.get("_lsn"), lsn_range)):
+                continue
+            if norm_ranges is not None:
+                cols = st.get("cols", {})
+                if not all(overlaps(cols.get(c), rng) for c, rng in norm_ranges.items()):
+                    continue
+            keep.append(os.path.join(self.root, commit_dir, rel))
         return keep
 
     # ---------- write ----------
@@ -511,7 +599,13 @@ class SnapshotTable:
         commit_rel = os.path.join(DATA_DIR, f"c-{uuid.uuid4().hex}")
         commit_abs = os.path.join(self.root, commit_rel)
         ordered = ["_bucket"] + [n for n in schema.fieldNames()]
-        out = df.select(*ordered)
+        # cast to the manifest schema (no-op casts are optimized away):
+        # guarantees the files' physical types never drift from the
+        # snapshot schema, e.g. a narrow batch landing after a widening
+        out = df.select(
+            F.col("_bucket").cast("int").alias("_bucket"),
+            *[F.col(n).cast(schema[n].dataType).alias(n) for n in schema.fieldNames()],
+        )
         persisted = None
         if callable(cluster_by):
             # an expression factory (z-order) samples `out` for range
@@ -639,6 +733,15 @@ class SnapshotTable:
             lsn_mm: list | None = None
             bkt_mm: list | None = None
             complete = True  # every row group must contribute valid bounds
+            # bounds for EVERY other scalar leaf column (non-key lookup
+            # pruning: a ts-range or role-equality read prunes files
+            # without any dedicated index); None once any row group lacks
+            # a JSON-orderable valid bound for that column
+            col_mm: dict[str, list | None] = {
+                c: None for c in names
+                if c not in (key_col, lsn_col, bucket_col) and "." not in c
+            }
+            col_ok: dict[str, bool] = {c: True for c in col_mm}
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 if lsn_col in names:
@@ -664,11 +767,24 @@ class SnapshotTable:
                     mm = _prune_bounds(g.column(names[bucket_col]).statistics)
                     if mm is not None:
                         bkt_mm = mm if bkt_mm is None else [min(bkt_mm[0], mm[0]), max(bkt_mm[1], mm[1])]
+                for c in col_mm:
+                    if not col_ok[c]:
+                        continue
+                    mm = _prune_bounds(g.column(names[c]).statistics)
+                    if mm is not None:
+                        mm = [_bound_to_json(mm[0]), _bound_to_json(mm[1])]
+                    if mm is None or mm[0] is None or mm[1] is None:
+                        col_ok[c] = False
+                        col_mm[c] = None
+                    else:
+                        prev = col_mm[c]
+                        col_mm[c] = mm if prev is None else [min(prev[0], mm[0]), max(prev[1], mm[1])]
             rel = os.path.relpath(f, commit_abs)
             file_stats[rel] = {
                 key_col: key_mm if complete else None,
                 lsn_col: lsn_mm if complete else None,
                 bucket_col: bkt_mm,
+                "cols": {c: mm for c, mm in col_mm.items() if mm is not None},
             }
             # exact per-bucket rows + max-LSN from the data columns
             if bucket_col in names and md.num_rows > 0:
@@ -759,13 +875,38 @@ class SnapshotTable:
         raise CommitConflictError(f"gave up committing {batch_id!r} after {retries} attempts")
 
     def _resolve_schema(self, new_schema: T.StructType | None) -> T.StructType:
+        """Merge an incoming batch schema into the table schema under the
+        evolution rules: new nullable columns append (additive — the
+        reference's rule, HierarchyConfig.java:239-253) and existing
+        columns may WIDEN losslessly (int→long, float→double, decimal
+        precision up — the Iceberg promotion set; real CDC feeds widen
+        types routinely). A NARROWER incoming column keeps the table's
+        wide type (the batch is cast up at write); anything else —
+        dropped columns, incompatible changes — raises."""
         cur_schema = self.schema()
         if new_schema is None:
             return cur_schema
-        if not set(cur_schema.fieldNames()) <= set(new_schema.fieldNames()):
-            dropped = set(cur_schema.fieldNames()) - set(new_schema.fieldNames())
+        cur_by = {f.name: f for f in cur_schema.fields}
+        new_names = {f.name for f in new_schema.fields}
+        dropped = set(cur_by) - new_names
+        if dropped:
             raise ValueError(f"schema evolution must be additive; dropped: {dropped}")
-        return new_schema
+        out: list[T.StructField] = []
+        for f in new_schema.fields:
+            c = cur_by.get(f.name)
+            if c is None or c.dataType == f.dataType:
+                out.append(f if c is None else c)
+            elif _widens(c.dataType, f.dataType):
+                out.append(T.StructField(f.name, f.dataType, c.nullable))
+            elif _widens(f.dataType, c.dataType) or _cast_equivalent(f.dataType, c.dataType):
+                out.append(c)  # incoming narrower/equivalent: keep, cast at write
+            else:
+                raise ValueError(
+                    f"incompatible type change for {f.name!r}: "
+                    f"{c.dataType.simpleString()} -> {f.dataType.simpleString()} "
+                    "(only lossless widenings are accepted)"
+                )
+        return T.StructType(out)
 
     def commit_overwrite_buckets(
         self,
@@ -1136,3 +1277,18 @@ class SnapshotTable:
             if fld.name not in existing:
                 schema = schema.add(T.StructField(fld.name, fld.dataType, True))
         return self._commit(batch_id, schema, lambda live: live, kind="evolve")
+
+    def evolve_to(self, target: T.StructType, batch_id: str) -> bool:
+        """Metadata-only schema evolution to ``target`` under the full rule
+        set of ``_resolve_schema`` — additive new columns AND lossless type
+        widenings (int→long, float→double, decimal precision up). No data
+        rewrite: old files keep their narrow physical types and every read
+        casts them up to the current schema (the same mechanism as
+        null-filling added columns), exactly how Iceberg serves promoted
+        columns."""
+        if batch_id in self.committed_batch_ids():
+            return False
+        merged = self._resolve_schema(target)
+        if merged == self.schema():
+            return False  # nothing to evolve
+        return self._commit(batch_id, merged, lambda live: live, kind="evolve")

@@ -67,7 +67,14 @@ def main(argv: list[str] | None = None) -> int:
     ro.add_argument("--batch-id", default=None)
 
     ch = sub.add_parser("changes")
-    ch.add_argument("--since-version", type=int, required=True)
+    ch.add_argument("--since-version", type=int, default=None)
+    ch.add_argument("--since-ts", type=float, default=None,
+                    help="epoch seconds: diff from the latest snapshot "
+                         "committed at or before this time (alternative "
+                         "to --since-version)")
+    ch.add_argument("--until-ts", type=float, default=None,
+                    help="epoch seconds: diff up to the latest snapshot "
+                         "at or before this time (default: current)")
     ch.add_argument("--out", default=None,
                     help="write the change rows as parquet here (otherwise "
                          "only counts are printed)")
@@ -108,8 +115,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "changes":
             from hierarchical_to_relational_spark.operators.merge import changes_since
 
-            v2 = table.current_version()
-            df = changes_since(spark, table, args.since_version, version=v2)
+            if (args.since_version is None) == (args.since_ts is None):
+                p.error("changes: pass exactly one of --since-version / --since-ts")
+            since_v = (args.since_version if args.since_version is not None
+                       else table.version_as_of(args.since_ts))
+            v2 = (table.current_version() if args.until_ts is None
+                  else table.version_as_of(args.until_ts))
+            df = changes_since(spark, table, since_v, version=v2)
             if args.out:
                 df.write.mode("overwrite").parquet(args.out)
                 df = spark.read.parquet(args.out)  # count what was written
@@ -117,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
 
             counts = {r["change_op"]: r["n"] for r in
                       df.groupBy("change_op").agg(_F.count("*").alias("n")).collect()}
-            out = {"since_version": args.since_version, "version": v2,
+            out = {"since_version": since_v, "version": v2,
                    "upserts": counts.get("u", 0), "deletes": counts.get("d", 0),
                    "out": args.out}
             print(json.dumps(out, default=str))

@@ -163,6 +163,105 @@ def test_schema_evolution_widens_target(spark, tmp_path):
     assert n_new > 0 and n_old > 0
 
 
+def _rating_envs(spark, rows, rating_type):
+    """rows: (lsn, op, conv_id, [(turn_idx, role, text, rating)]) with a
+    numeric ``rating`` turn column of the given Spark type."""
+    import pandas as pd
+
+    ts = pd.Timestamp("2026-01-01").to_pydatetime()
+    schema = envelope_schema([T.StructField("rating", rating_type, True)])
+    data = [
+        (lsn, ts, op, cid,
+         None if turns is None else {"turns": [
+             {"turn_idx": i, "role": r, "text": t, "tool": None, "ts": ts, "rating": rt}
+             for (i, r, t, rt) in turns]})
+        for (lsn, op, cid, turns) in rows
+    ]
+    return spark.createDataFrame(data, schema)
+
+
+def test_type_widening_evolution(spark, tmp_path):
+    """A mid-stream int→long widening of a turn column evolves the table
+    metadata-only; old narrow files read cast-up, late narrow batches cast
+    up at write, and the final state matches an independent LWW oracle.
+    Incompatible changes (long→string) are rejected."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=4, text_mode="none",
+                       envelope_schema=envelope_schema(
+                           [T.StructField("rating", T.IntegerType(), True)]))
+    pipe.apply_batch(_rating_envs(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", 7), (1, "assistant", "a1", 3)]),
+        (2, "insert", "cB", [(0, "user", "b0", None)]),
+    ], T.IntegerType()), "b0")
+    assert pipe.table.schema()["rating"].dataType == T.IntegerType()
+
+    big = 5_000_000_000  # does not fit int32
+    pipe.apply_batch(_rating_envs(spark, [
+        (3, "update", "cA", [(1, "assistant", "a1-v2", big)]),
+    ], T.LongType()), "b1")
+    assert pipe.table.schema()["rating"].dataType == T.LongType(), \
+        "int→long widening evolved the table schema"
+
+    # a NARROW (int) producer still lands after the widening, cast up
+    pipe.apply_batch(_rating_envs(spark, [
+        (4, "insert", "cC", [(0, "user", "c0", 9)]),
+    ], T.IntegerType()), "b2")
+
+    got = {(r["conv_id"], r["turn_idx"]): (r["text"], r["rating"])
+           for r in read_transcripts(spark, pipe.table).collect()}
+    # independent oracle: LWW fold of the event list by (conv, turn, lsn)
+    want = {("cA", 0): ("a0", 7), ("cA", 1): ("a1-v2", big),
+            ("cB", 0): ("b0", None), ("cC", 0): ("c0", 9)}
+    assert got == want
+    assert read_transcripts(spark, pipe.table).schema["rating"].dataType == T.LongType()
+
+    # time travel BEFORE the widening still serves the narrow schema
+    assert pipe.table.schema(version=1)["rating"].dataType == T.IntegerType()
+
+    # incompatible change: numeric → string is refused, table untouched
+    with pytest.raises(ValueError, match="incompatible type change"):
+        pipe.apply_batch(_rating_envs(spark, [
+            (5, "insert", "cD", [(0, "user", "d0", "five-stars")]),
+        ], T.StringType()), "b3")
+    assert pipe.table.schema()["rating"].dataType == T.LongType()
+
+
+def test_evolve_to_rules(spark, tmp_path):
+    """SnapshotTable.evolve_to unit rules: float→double and decimal
+    precision-up accepted; narrowing and scale changes rejected; no-op
+    returns False without a commit."""
+    from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("x", T.FloatType(), True),
+        T.StructField("d", T.DecimalType(10, 2), True),
+    ])
+    t = SnapshotTable.create(str(tmp_path / "t"), schema, n_buckets=2)
+    v0 = t.current_version()
+    assert t.evolve_to(schema, "e0") is False and t.current_version() == v0
+
+    wide = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("x", T.DoubleType(), True),
+        T.StructField("d", T.DecimalType(18, 2), True),
+    ])
+    assert t.evolve_to(wide, "e1") is True
+    assert t.schema()["x"].dataType == T.DoubleType()
+    assert t.schema()["d"].dataType == T.DecimalType(18, 2)
+
+    # a narrower schema is tolerated (kept wide; batches cast up at write)
+    # and does NOT move the table
+    v1 = t.current_version()
+    assert t.evolve_to(schema, "e2") is False and t.current_version() == v1
+    with pytest.raises(ValueError):  # decimal scale change is NOT lossless
+        t.evolve_to(T.StructType([
+            T.StructField("k", T.StringType(), False),
+            T.StructField("x", T.DoubleType(), True),
+            T.StructField("d", T.DecimalType(20, 4), True),
+        ]), "e3")
+
+
 def test_lineage_records(spark, tmp_path, binlog):
     pipe = CdcPipeline(spark, binlog["dir"], str(tmp_path / "t"), str(tmp_path / "ck"),
                        n_buckets=8, text_mode="none")

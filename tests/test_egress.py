@@ -208,3 +208,28 @@ def test_follower_expired_cursor_needs_resync(spark, tmp_path):
     pipe.table.expire_snapshots(retain_last=2, orphan_grace_seconds=1e9)
     p = f.poll_once()
     assert p["needs_resync"] is True
+
+
+def test_follower_since_ts_start(spark, tmp_path):
+    """A brand-new follower with since_ts starts from the snapshot current
+    at that wall-clock instant: the first poll emits exactly the commits
+    after it (instead of pinning at current and emitting nothing); an
+    existing cursor takes precedence over since_ts."""
+    import time
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cOld", [(0, "user", "old", None)])]), "b0")
+    t_mid = time.time()
+    pipe.apply_batch(_env_rows(spark, [(2, "insert", "cNew", [(0, "user", "new", None)])]), "b1")
+
+    cursor = str(tmp_path / "cursor.json")
+    f = ChangeFollower(spark, pipe.table, cursor, since_ts=t_mid)
+    p = f.poll_once(on_changes=lambda res: None)
+    assert p["upserts"] == 1, "only the post-since_ts commit is emitted"
+
+    # resumed follower: the cursor wins over since_ts
+    pipe.apply_batch(_env_rows(spark, [(3, "insert", "cNew2", [(0, "user", "n2", None)])]), "b2")
+    f2 = ChangeFollower(spark, pipe.table, cursor, since_ts=0.0)
+    p2 = f2.poll_once()
+    assert p2["from"] == p["to"] and p2["upserts"] == 1

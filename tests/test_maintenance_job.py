@@ -115,3 +115,53 @@ def test_rollback_by_timestamp_and_age_expire(spark, tmp_path, capsys, table):
     e = _run(capsys, "--table", root, "expire", "--retain-last", "1",
              "--older-than-s", "999999", "--orphan-grace-s", "999999")
     assert e["expired_snapshots"] == 0
+
+
+def test_changes_timestamp_cursors(spark, tmp_path, capsys, table):
+    """changes --since-ts/--until-ts resolve through version_as_of and
+    equal the version-cursor diff; changes_between_timestamps composes the
+    same way; exactly one cursor flavor must be given."""
+    import time
+
+    from hierarchical_to_relational_spark.operators.merge import (
+        changes_between_timestamps, changes_since,
+    )
+    from tests.test_cdc import _env_rows
+
+    root, _events = table
+    t = SnapshotTable(root)
+    pipe = CdcPipeline(spark, str(tmp_path / "binlog"), root, str(tmp_path / "ck2"),
+                       n_buckets=4, text_mode="none")
+    t_mid = time.time()
+    v_mid = t.current_version()
+    pipe.apply_batch(_env_rows(spark, [
+        (10_000, "insert", "cTS", [(0, "user", "after-mid", None)]),
+    ]), "ts-b1")
+
+    direct = changes_since(spark, t, v_mid)
+    via_ts = changes_between_timestamps(spark, t, t_mid)
+    assert sorted(map(tuple, via_ts.collect())) == sorted(map(tuple, direct.collect()))
+    assert via_ts.where("conv_id = 'cTS'").count() == 1
+
+    ch = _run(capsys, "--table", root, "changes", "--since-ts", str(t_mid))
+    assert ch["since_version"] == v_mid and ch["upserts"] >= 1
+
+    # --until-ts pins the window's right edge: a commit after t_end is out
+    t_end = time.time()
+    pipe.apply_batch(_env_rows(spark, [
+        (10_001, "insert", "cTS2", [(0, "user", "after-end", None)]),
+    ]), "ts-b2")
+    windowed = changes_between_timestamps(spark, t, t_mid, until_ts=t_end)
+    assert windowed.where("conv_id = 'cTS2'").count() == 0
+    assert windowed.where("conv_id = 'cTS'").count() == 1
+    ch2 = _run(capsys, "--table", root, "changes",
+               "--since-ts", str(t_mid), "--until-ts", str(t_end))
+    assert ch2["version"] < t.current_version()
+
+    # exactly one cursor flavor
+    import table_maintenance_job as M
+    with pytest.raises(SystemExit):
+        M.main(["--table", root, "changes"])
+    with pytest.raises(SystemExit):
+        M.main(["--table", root, "changes", "--since-version", "1",
+                "--since-ts", str(t_mid)])

@@ -775,3 +775,88 @@ def test_timestamp_time_travel_and_age_expiry(spark, tmp_path, monkeypatch):
     assert t._versions() == [3, 4, 5]
     # the surviving window still time-travels
     assert t.read(spark, as_of_ts=stamps[4]).select("v").collect()[0][0] == 3
+
+
+def _ts_envs(spark, rows):
+    """rows: (lsn, op, conv_id, [(turn_idx, role, text, ts_day)]) with a
+    controllable per-turn ts (days from 2026-01-01)."""
+    import datetime
+
+    import pandas as pd
+    from hierarchical_to_relational_spark.sources.binlog import envelope_schema
+
+    base = pd.Timestamp("2026-01-01").to_pydatetime()
+    data = [
+        (lsn, base, op, cid,
+         None if turns is None else {"turns": [
+             {"turn_idx": i, "role": r, "text": t, "tool": None,
+              "ts": base + datetime.timedelta(days=day)}
+             for (i, r, t, day) in turns]})
+        for (lsn, op, cid, turns) in rows
+    ]
+    return spark.createDataFrame(data, envelope_schema())
+
+
+def test_col_ranges_pruning_and_scan_range(spark, tmp_path):
+    """Non-key lookup pruning: per-file sidecar bounds on ANY scalar user
+    column let a ts-range read scan fewer files than the table holds — on
+    a PLAIN delta stack and on a z-ordered base — while scan_range stays
+    LWW-safe: superseded and deleted in-range rows do not resurrect."""
+    import datetime
+
+    from hierarchical_to_relational_spark.operators.merge import compact, scan_range
+    from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+
+    base = datetime.datetime(2026, 1, 1)
+    day = lambda d: base + datetime.timedelta(days=d)
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=4, text_mode="none",
+                       compact_every=999)
+    # three time-ordered batches -> three delta dirs with disjoint ts spans
+    pipe.apply_batch(_ts_envs(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", 0)]),
+        (2, "insert", "cB", [(0, "user", "b0", 0)]),
+    ]), "b0")
+    pipe.apply_batch(_ts_envs(spark, [
+        (3, "insert", "cC", [(0, "user", "c0", 10)]),
+        (4, "update", "cA", [(0, "user", "a0-v2", 10)]),  # supersedes day-0 row
+    ]), "b1")
+    pipe.apply_batch(_ts_envs(spark, [
+        (5, "delete", "cB", None),                         # kills day-0 cB
+        (6, "insert", "cD", [(0, "user", "d0", 20)]),
+    ]), "b2")
+    t = pipe.table
+
+    # (a) PLAIN base: ts-range file pruning drops the other days' deltas
+    full = set(t.read(spark).inputFiles())
+    day0 = set(t.read(spark, col_ranges={"ts": (day(0), day(1))}).inputFiles())
+    assert day0 and day0 < full, f"ts-range must prune files: {len(day0)}/{len(full)}"
+
+    # (b) scan_range is resolution-safe: day-0 window returns NOTHING
+    # (cA's day-0 row was superseded, cB was deleted) — a naive
+    # pruned-files resolve would return both
+    assert scan_range(spark, t, "ts", day(0), day(1)).count() == 0
+    got10 = {(r["conv_id"], r["text"])
+             for r in scan_range(spark, t, "ts", day(9), day(11)).collect()}
+    assert got10 == {("cA", "a0-v2"), ("cC", "c0")}
+    # open-ended + equality-style ranges
+    assert {r["conv_id"] for r in scan_range(spark, t, "ts", lo=day(15)).collect()} == {"cD"}
+    assert {r["conv_id"] for r in
+            scan_range(spark, t, "role", "user", "user").collect()} == {"cA", "cC", "cD"}
+
+    # (c) Z-ORDERED base: cluster on (conv_id, ts); per-file ts bounds on
+    # the rewritten base still prune a ts window (AQE coalescing disabled
+    # so the tiny rewrite keeps multiple files, as at real scale)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        assert compact(spark, t, batch_id="z0", zorder=["conv_id", "ts"])
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.unset("spark.sql.shuffle.partitions")
+    fullz = set(t.read(spark).inputFiles())
+    day20 = set(t.read(spark, col_ranges={"ts": (day(19), day(21))}).inputFiles())
+    assert day20 and day20 < fullz, f"z-base ts pruning: {len(day20)}/{len(fullz)}"
+    # same answers through the z-ordered base
+    assert {r["conv_id"] for r in scan_range(spark, t, "ts", lo=day(15)).collect()} == {"cD"}
+    assert scan_range(spark, t, "ts", day(0), day(1)).count() == 0
