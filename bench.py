@@ -163,24 +163,31 @@ def bench_cdc(spark, n_events: int, n_batches: int, work_dir: str) -> dict:
     # lookup_conversation — the r3 headline scale feature. min-of-2.
     from pyspark.sql import functions as F
     from hierarchical_to_relational_spark.operators.merge import (
-        compact, lookup_conversation,
+        compact, lookup_conversation, lookup_conversations,
     )
 
     compact(spark, pipe.table, batch_id="bench-compact")
     pipe.replay_batch(segs[:1], "bench-post-compact-delta")
-    conv = pipe.table.read(spark).where(
+    convs = [r[0] for r in pipe.table.read(spark).where(
         F.col("conv_id").isNotNull()
-    ).select("conv_id").first()[0]
-    lk = None
+    ).select("conv_id").distinct().limit(100).collect()]
+    lk = lk100 = None
     for _ in range(2):
         t1 = time.monotonic()
-        lookup_conversation(spark, pipe.table, conv).collect()
+        lookup_conversation(spark, pipe.table, convs[0]).collect()
         lk = min(lk or 9e9, time.monotonic() - t1)
+        t1 = time.monotonic()
+        lookup_conversations(spark, pipe.table, convs).collect()
+        lk100 = min(lk100 or 9e9, time.monotonic() - t1)
     return {
         "cdc_events": physical,
         "cdc_seconds": round(dt, 3),
         "cdc_events_per_sec": round(physical / dt, 1),
         "cdc_point_lookup_seconds": round(lk, 3),
+        # batched amortization: 100 keys in ONE plan (driver-side bucket
+        # hashing + per-key sidecar file pruning) vs 100 sequential lookups
+        "cdc_lookup100_seconds": round(lk100, 3),
+        "cdc_lookup100_per_key_seconds": round(lk100 / len(convs), 4),
     }
 
 

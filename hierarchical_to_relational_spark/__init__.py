@@ -15,6 +15,10 @@ reference plugin ``data-integrations/hierarchical-to-relational``
   idempotent (batch-id keyed) commits, additive schema evolution, time travel.
 - ``streaming``           — Structured Streaming foreachBatch CDC driver with
   per-batch lineage/watermark records, resumable from checkpoint.
+- ``sql``                 — SQL view surface (``spark.sql`` over the table,
+  its raw state, history, and CDC diffs) with snapshot-pinned semantics.
+- ``table.consistent``    — multi-table consistent version cuts for
+  cross-stream joins.
 - ``operators.dedup`` / ``operators.similarity`` / ``operators.text`` /
   ``operators.multimodal`` — large-scale training-data pipeline ops
   (exact/MinHash-LSH/SimHash/Jaccard/embedding near-dup, ANN top-k,

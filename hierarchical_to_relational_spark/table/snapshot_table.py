@@ -416,6 +416,7 @@ class SnapshotTable:
         lsn_range: tuple | None = None,
         as_of_ts: float | None = None,
         col_ranges: dict | None = None,
+        key_set: list | None = None,
     ) -> DataFrame:
         """Scan the live table state (or a historical version), optionally
         pruned to a bucket subset. Old files are projected up to the current
@@ -437,6 +438,12 @@ class SnapshotTable:
         makes a point lookup touch one file per compacted base dir
         (range-clustered) plus only the delta files whose batches actually
         contained the key — not every file in the bucket.
+
+        ``key_set=[k1, k2, ...]`` prunes files against a SET of point keys
+        (batched lookups): a file survives only if some key falls inside
+        its recorded conv_id bounds (bisect per file — tighter than the
+        single (min,max) envelope of the set, which would keep every file
+        between two far-apart keys). Mask-complete like ``key_range``.
 
         ``col_ranges={col: (lo, hi)}`` prunes on ANY scalar user column's
         recorded bounds (ts, role, turn_idx, ... — no secondary index
@@ -481,7 +488,9 @@ class SnapshotTable:
         parts: list[DataFrame] = []
         for commit_dir, bks in sorted(by_commit.items()):
             base = os.path.join(self.root, commit_dir)
-            paths = self._pruned_paths(commit_dir, set(bks), key_range, lsn_range, col_ranges)
+            paths = self._pruned_paths(
+                commit_dir, set(bks), key_range, lsn_range, col_ranges, key_set
+            )
             if paths is None:
                 paths = [base]  # no sidecar: scan the whole flat commit dir
             if not paths:
@@ -534,15 +543,17 @@ class SnapshotTable:
         key_range: tuple | None,
         lsn_range: tuple | None,
         col_ranges: dict | None = None,
+        key_set: list | None = None,
     ) -> list[str] | None:
         """File list for a commit dir after sidecar pruning (bucket range ∩
-        wanted buckets, then key/lsn min-max, then any ``col_ranges``
-        bounds), or None when no sidecar exists — caller then scans the
-        whole commit dir."""
+        wanted buckets, then key/lsn min-max, key-set bisect, and any
+        ``col_ranges`` bounds), or None when no sidecar exists — caller
+        then scans the whole commit dir."""
         stats = self._file_stats(commit_dir)
         if stats is None:
             return None
         wanted_ints = {int(b) for b in wanted_buckets}
+        sorted_keys = sorted(key_set) if key_set else None
         norm_ranges = None
         if col_ranges:
             norm_ranges = {
@@ -563,6 +574,14 @@ class SnapshotTable:
                 continue
             if not (overlaps(st.get("conv_id"), key_range) and overlaps(st.get("_lsn"), lsn_range)):
                 continue
+            if sorted_keys is not None:
+                kmm = st.get("conv_id")
+                if kmm is not None:
+                    import bisect
+
+                    i = bisect.bisect_left(sorted_keys, kmm[0])
+                    if i >= len(sorted_keys) or sorted_keys[i] > kmm[1]:
+                        continue  # no key of the set falls in this file's span
             if norm_ranges is not None:
                 cols = st.get("cols", {})
                 if not all(overlaps(cols.get(c), rng) for c, rng in norm_ranges.items()):

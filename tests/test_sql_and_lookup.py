@@ -1,0 +1,165 @@
+"""Round-4 surfaces: pure-Python XXH64 twin, batched point lookups, the
+SQL view layer, and multi-table consistent reads."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hierarchical_to_relational_spark.functions.xxh64 import (
+    bucket_of_key,
+    xxh64_signed,
+)
+from hierarchical_to_relational_spark.operators.merge import (
+    lookup_conversation,
+    lookup_conversations,
+    read_transcripts,
+)
+from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+from tests.test_cdc import _env_rows
+
+_SPARK = {}
+
+
+def _xxhash64_oracle(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    return {r["s"]: (r["h"], r["b"]) for r in df.select(
+        "s", F.xxhash64("s").alias("h"),
+        F.pmod(F.xxhash64("s"), F.lit(32)).cast("int").alias("b")).collect()}
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=8, unique=True))
+def test_xxh64_matches_spark(s):
+    """Property: the driver-side XXH64 twin is bit-equal to Spark's
+    xxhash64 (and the derived bucket equals pmod(xxhash64, n)) over
+    arbitrary unicode strings — the exactness batched lookups rely on."""
+    spark = _SPARK["s"]
+    # surrogates can't round-trip through UTF-8; Spark would reject them too
+    s = [x.encode("utf-8", "replace").decode("utf-8") for x in s]
+    want = _xxhash64_oracle(spark, s)
+    for v in set(s):
+        h, b = want[v]
+        assert xxh64_signed(v.encode("utf-8")) == h
+        assert bucket_of_key(v, 32) == b
+
+
+@pytest.fixture(autouse=True)
+def _stash_spark(spark):
+    _SPARK["s"] = spark
+    yield
+
+
+@pytest.fixture()
+def table3(spark, tmp_path):
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=8, text_mode="none")
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None), (1, "assistant", "a1", None)]),
+        (2, "insert", "cB", [(0, "user", "b0", None)]),
+        (3, "insert", "cC", [(0, "user", "c0", None)]),
+    ]), "b0")
+    pipe.apply_batch(_env_rows(spark, [
+        (4, "update", "cA", [(1, "assistant", "a1-v2", None)]),
+        (5, "delete", "cC", None),
+    ]), "b1")
+    return pipe
+
+
+def test_batched_lookup(spark, table3):
+    """lookup_conversations returns the same rows as per-key lookups, in
+    one plan, with NO Spark job spent on bucket hashing; single-key
+    lookup_conversation now routes through the same path."""
+    t = table3.table
+    batched = {(r["conv_id"], r["turn_idx"], r["text"])
+               for r in lookup_conversations(spark, t, ["cA", "cB", "cC"]).collect()}
+    assert batched == {("cA", 0, "a0"), ("cA", 1, "a1-v2"), ("cB", 0, "b0")}
+    single = {(r["conv_id"], r["turn_idx"], r["text"])
+              for r in lookup_conversation(spark, t, "cA").collect()}
+    assert single == {("cA", 0, "a0"), ("cA", 1, "a1-v2")}
+    with pytest.raises(ValueError):
+        lookup_conversations(spark, t, [])
+
+
+def test_sql_views(spark, table3):
+    """A SQL-only user queries the table, raw state, history, and the CDC
+    diff purely via spark.sql — and views stay snapshot-pinned until
+    refreshed."""
+    from hierarchical_to_relational_spark import sql as hsql
+
+    t = table3.table
+    reg = hsql.register_views(spark, t, prefix="tx")
+    assert set(reg["views"]) == {"tx", "tx_raw", "tx_history"}
+    live = {(r["conv_id"], r["turn_idx"], r["text"]) for r in
+            spark.sql("SELECT conv_id, turn_idx, text FROM tx").collect()}
+    assert live == {("cA", 0, "a0"), ("cA", 1, "a1-v2"), ("cB", 0, "b0")}
+    # raw view exposes metadata incl. the cC tombstone
+    assert spark.sql("SELECT count(*) n FROM tx_raw WHERE _op = 'd'").first()["n"] == 1
+    assert spark.sql("SELECT max(version) v FROM tx_history").first()["v"] == t.current_version()
+
+    # changes view: SQL over the incremental diff
+    hsql.register_changes_view(spark, t, since_version=1, prefix="tx")
+    ops = {r["change_op"]: r["n"] for r in spark.sql(
+        "SELECT change_op, count(*) n FROM tx_changes GROUP BY change_op").collect()}
+    assert ops.get("d") == 1 and ops.get("u", 0) >= 1
+    with pytest.raises(ValueError):
+        hsql.register_changes_view(spark, t)
+
+    # pinned semantics: a commit after registration is invisible until refresh
+    table3.apply_batch(_env_rows(spark, [
+        (6, "insert", "cD", [(0, "user", "d0", None)]),
+    ]), "b2")
+    assert spark.sql("SELECT count(*) n FROM tx WHERE conv_id='cD'").first()["n"] == 0
+    hsql.refresh(spark, t, prefix="tx")
+    assert spark.sql("SELECT count(*) n FROM tx WHERE conv_id='cD'").first()["n"] == 1
+
+
+def test_consistent_cut(spark, tmp_path):
+    """pin_consistent_versions retries past a torn first pass (a commit
+    landing mid-pin) and consistent_reads serves both tables from the
+    accepted vector; an explicit saved cut reproduces the old state."""
+    from hierarchical_to_relational_spark.table.consistent import (
+        consistent_reads,
+        pin_consistent_versions,
+    )
+
+    pipes = {}
+    for name in ("fact", "dim"):
+        pipes[name] = CdcPipeline(spark, str(tmp_path / f"bl-{name}"),
+                                  str(tmp_path / name), str(tmp_path / f"ck-{name}"),
+                                  n_buckets=2, text_mode="none")
+        pipes[name].apply_batch(_env_rows(spark, [
+            (1, "insert", f"{name}-k1", [(0, "user", f"{name}-v1", None)]),
+        ]), "b0")
+    tables = {n: p.table for n, p in pipes.items()}
+    cut1 = pin_consistent_versions(tables)
+
+    # torn pin: the first pass sees dim BEFORE a commit that lands mid-pin
+    real = type(tables["dim"]).current_version
+    fired = {"n": 0}
+
+    def racing(self):
+        v = real(self)
+        if self is tables["dim"] and fired["n"] == 0:
+            fired["n"] += 1
+            pipes["dim"].apply_batch(_env_rows(spark, [
+                (2, "insert", "dim-k2", [(0, "user", "dim-v2", None)]),
+            ]), "b1")
+        return v
+
+    import hierarchical_to_relational_spark.table.snapshot_table as stmod
+    orig = stmod.SnapshotTable.current_version
+    stmod.SnapshotTable.current_version = racing
+    try:
+        cut2 = pin_consistent_versions(tables)
+    finally:
+        stmod.SnapshotTable.current_version = orig
+    assert cut2["dim"] > cut1["dim"], "retry adopted the post-commit version"
+
+    dfs = consistent_reads(spark, tables, versions=cut2)
+    assert {r["conv_id"] for r in dfs["dim"].collect()} == {"dim-k1", "dim-k2"}
+    # the SAVED pre-commit cut still reproduces the old dim state
+    old = consistent_reads(spark, tables, versions=cut1)
+    assert {r["conv_id"] for r in old["dim"].collect()} == {"dim-k1"}
+    assert {r["conv_id"] for r in old["fact"].collect()} == {"fact-k1"}
