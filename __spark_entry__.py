@@ -339,6 +339,166 @@ _CDC_CHANGES_ORACLE = """
 """
 
 
+def q_cdc_scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-safe value-range query (operators.merge.scan_range):
+    replay the stream into the table, then ask for the CURRENT live rows
+    whose ts falls in the last 30 days of the log — candidate files come
+    from the per-file sidecar bounds on the NON-KEY ts column (no
+    secondary index), then only the affected keys are fully LWW-resolved
+    so superseded/deleted in-range rows cannot resurrect (the property
+    the oracle's final-state filter checks exactly)."""
+    from hierarchical_to_relational_spark.operators.merge import scan_range
+
+    table = _cdc_table(spark, sf_dir)
+    import datetime
+
+    hi = _t(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    lo = hi - datetime.timedelta(days=30)
+    return scan_range(spark, table, "ts", lo=lo).select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    )
+
+
+def q_cdc_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched point lookup (operators.merge.lookup_conversations): 25
+    conversations in ONE plan — buckets from the driver-side XXH64 twin
+    (no Spark job), files pruned per key via the sidecar key-set bisect,
+    one LWW resolution over the survivors."""
+    from hierarchical_to_relational_spark.operators.merge import lookup_conversations
+
+    table = _cdc_table(spark, sf_dir)
+    keys = [f"u{i}" for i in range(1, 26)]
+    return lookup_conversations(spark, table, keys).select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    )
+
+
+def _cdc_table(spark: SparkSession, sf_dir: str, n_batches: int = 3):
+    """The _run_cdc replay, returning the TABLE (for queries that read it
+    in a non-default way)."""
+    env = _mk_envelopes(_t(spark, sf_dir, "events"))
+    root = tempfile.mkdtemp(prefix="h2r-cdc-t-")
+    turn_cols = [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+    table = SnapshotTable.create(os.path.join(root, "transcripts"), table_schema_for(turn_cols), 8)
+    for b in range(n_batches):
+        batch = env.where(F.col("lsn") % n_batches == b)
+        upserts, deletes = normalize_envelopes(batch, text_mode="none")
+        apply_cdc_batch(spark, table, upserts, deletes, batch_id=f"replay-{b}")
+    return table
+
+
+def q_cdc_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream int→long type widening: batches 0-1 carry a turn column
+    ``score`` as INT (lsn % 100); batch 2 carries it as LONG with values
+    past int32 (lsn + 5·10^9). The engine widens the table metadata-only
+    at batch 2, casts the old narrow files up at read, and the final
+    state equals the oracle's LWW fold computed wholly in BIGINT."""
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="h2r-cdc-widen-")
+    turn_cols = [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("score", T.IntegerType(), True),
+    ]
+    table = SnapshotTable.create(os.path.join(root, "transcripts"), table_schema_for(turn_cols), 8)
+
+    def envs(batch_pred, score_col):
+        turn = F.struct(
+            (F.col("event_id") % 7).cast("int").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            F.col("props").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("ts").alias("ts"),
+            score_col.alias("score"),
+        )
+        return ev.where(batch_pred).select(
+            F.col("event_id").alias("lsn"),
+            F.col("ts").alias("commit_ts"),
+            F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(F.lit("insert")).alias("op"),
+            F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+            F.when(F.col("event_type") == "error", F.lit(None))
+            .otherwise(F.struct(F.array(turn).alias("turns")))
+            .alias("payload"),
+        )
+
+    for b in (0, 1):  # narrow int batches
+        ups, dels = normalize_envelopes(
+            envs(F.col("event_id") % 3 == b, (F.col("event_id") % 100).cast("int")),
+            text_mode="none")
+        apply_cdc_batch(spark, table, ups, dels, batch_id=f"w-{b}")
+    ups, dels = normalize_envelopes(  # wide long batch: values > int32
+        envs(F.col("event_id") % 3 == 2, (F.col("event_id") + F.lit(5_000_000_000)).cast("long")),
+        text_mode="none")
+    apply_cdc_batch(spark, table, ups, dels, batch_id="w-2")
+    assert table.schema()["score"].dataType == T.LongType()
+    return read_transcripts(spark, table).select(
+        "conv_id", "turn_idx", "role", "text", "score"
+    )
+
+
+_CDC_FINAL_STATE_CTE = """
+    WITH ups AS (
+        SELECT 'u' || user_id AS conv_id,
+               CAST(event_id % 7 AS INTEGER) AS turn_idx,
+               event_type AS role, props AS text, ts, event_id AS lsn,
+               row_number() OVER (PARTITION BY user_id, event_id % 7
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type <> 'error'
+    ),
+    dels AS (
+        SELECT 'u' || user_id AS conv_id, max(event_id) AS del_lsn
+        FROM events WHERE event_type = 'error' GROUP BY user_id
+    ),
+    final AS (
+        SELECT u.conv_id, u.turn_idx, u.role, u.text, u.ts, u.lsn
+        FROM ups u LEFT JOIN dels d ON u.conv_id = d.conv_id
+        WHERE u.rn = 1 AND (d.del_lsn IS NULL OR u.lsn > d.del_lsn)
+    )
+"""
+
+_CDC_SCAN_RANGE_ORACLE = _CDC_FINAL_STATE_CTE + """
+    SELECT conv_id, turn_idx, role, text, ts FROM final
+    WHERE ts >= (SELECT max(ts) - INTERVAL 30 DAY FROM events)
+"""
+
+_CDC_LOOKUP_BATCH_ORACLE = _CDC_FINAL_STATE_CTE + """
+    SELECT conv_id, turn_idx, role, text, ts FROM final
+    WHERE conv_id IN (SELECT 'u' || CAST(i AS VARCHAR) FROM range(1, 26) t(i))
+"""
+
+_CDC_WIDENING_ORACLE = """
+    WITH ups AS (
+        SELECT 'u' || user_id AS conv_id,
+               CAST(event_id % 7 AS INTEGER) AS turn_idx,
+               event_type AS role, props AS text,
+               CAST(CASE WHEN event_id % 3 = 2 THEN event_id + 5000000000
+                         ELSE event_id % 100 END AS BIGINT) AS score,
+               event_id AS lsn,
+               row_number() OVER (PARTITION BY user_id, event_id % 7
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type <> 'error'
+    ),
+    dels AS (
+        SELECT 'u' || user_id AS conv_id, max(event_id) AS del_lsn
+        FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT u.conv_id, u.turn_idx, u.role, u.text, u.score
+    FROM ups u LEFT JOIN dels d ON u.conv_id = d.conv_id
+    WHERE u.rn = 1 AND (d.del_lsn IS NULL OR u.lsn > d.del_lsn)
+"""
+
+
 _CDC_REPLAY_ORACLE = """
     WITH ups AS (
         SELECT 'u' || user_id AS conv_id,
@@ -901,6 +1061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_roundtrip": q_normalize_roundtrip,
         "cdc_replay": q_cdc_replay,
         "cdc_changes_since": q_cdc_changes_since,
+        "cdc_scan_range": q_cdc_scan_range,
+        "cdc_lookup_batch": q_cdc_lookup_batch,
+        "cdc_widening": q_cdc_widening,
         "agg_pricing": q_agg_pricing,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
@@ -1052,6 +1215,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_replay": _CDC_REPLAY_ORACLE,
         "cdc_changes_since": _CDC_CHANGES_ORACLE,
+        "cdc_scan_range": _CDC_SCAN_RANGE_ORACLE,
+        "cdc_lookup_batch": _CDC_LOOKUP_BATCH_ORACLE,
+        "cdc_widening": _CDC_WIDENING_ORACLE,
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty,
