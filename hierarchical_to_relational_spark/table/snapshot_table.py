@@ -626,14 +626,16 @@ class SnapshotTable:
             *[F.col(n).cast(schema[n].dataType).alias(n) for n in schema.fieldNames()],
         )
         persisted = None
-        if callable(cluster_by):
-            # an expression factory (z-order) samples `out` for range
-            # boundaries — one count + one collect per column. Without a
-            # persist each of those jobs re-runs the FULL upstream DAG
-            # (for compaction: the whole multi-bucket read + resolve), as
-            # does repartitionByRange's own sampling pass. The try/finally
-            # starts immediately: the sampling jobs are the first to
-            # populate the cache and must not leak it on failure.
+        if cluster_by is not None:
+            # EVERY range-clustered rewrite gets persisted: z-order
+            # factories sample `out` for boundaries (one count + one
+            # collect per column) AND repartitionByRange itself runs a
+            # sampling pass — without a persist each of those jobs
+            # re-runs the FULL upstream DAG (for compaction: the whole
+            # multi-bucket read + LWW resolve, i.e. the rewrite's input
+            # scan executes twice). The try/finally starts immediately:
+            # the sampling jobs are the first to populate the cache and
+            # must not leak it on failure.
             persisted = out = out.persist()
         try:
             if cluster_by is not None:

@@ -4,15 +4,20 @@ claim in operators.merge.compact_pressured.
 
 Replays the identical cached bench binlog in N micro-batches three times:
 
-- partial: compact_pressured(depth >= 2D OR bytes >= B) after every
-  batch — hot buckets cross the BYTES threshold after a couple of
-  batches and fold often; cold buckets wait for the (laxer) depth bound,
-  which caps read amplification. (A depth trigger alone cannot
-  discriminate on this stream: every batch touches every bucket, so
-  depth pressure is uniform — bytes pressure is what the zipf skews.)
-- full:    compact() of EVERY live bucket whenever depth >= D;
+- partial: every D batches (SAME cadence as full — an early variant that
+  checked every batch showed per-commit job constants dominating at this
+  toy scale), fold ONLY the buckets whose stacked delta bytes cross B:
+  the zipf-hot buckets. (A depth trigger cannot discriminate on this
+  stream: every batch touches every bucket, so depth pressure is
+  uniform — BYTES pressure is what the skew concentrates.)
+- full:    compact() of EVERY live bucket on the same cadence;
 - none:    pure merge-on-read appends (the read-latency price of never
            folding).
+
+The headline metric is REWRITTEN BYTES — the cost that scales with data
+volume. Read latency is also reported; at this toy scale the cold
+buckets partial skips cost per-dir/file constants on read (tiny files),
+which at 100 TB amortize while rewrite bytes do not.
 
 Reports, per policy: ingest wall clock, number of compaction commits,
 BUCKET-REWRITES (sum of buckets folded — the rewrite work measure),
@@ -52,22 +57,32 @@ def run_policy(spark, segs, binlog, policy: str, work: str, n_batches: int, dept
         compact_every=10**9,  # the pipeline's own trigger is disabled;
     )                         # this harness drives compaction explicitly
     per = max(len(segs) // n_batches, 1)
-    rewrites = {"commits": 0, "buckets": 0}
+    rewrites = {"commits": 0, "buckets": 0, "bytes": 0}
+
+    def _new_dir_bytes(before_dirs: set) -> int:
+        cb = pipe.table.snapshot().get("commit_bytes", {})
+        return sum(sum(bk.values()) for d, bk in cb.items() if d not in before_dirs)
+
     t0 = time.monotonic()
     for i, b in enumerate(range(0, len(segs), per)):
         pipe.replay_batch(segs[b: b + per], f"{policy}-{i}")
+        if policy == "none" or (i + 1) % depth != 0:
+            continue
+        before = set(pipe.table.snapshot().get("commit_bytes", {}))
         if policy == "partial":
             folded = compact_pressured(spark, pipe.table, f"{policy}-{i}::c",
-                                       depth_threshold=2 * depth,
+                                       depth_threshold=10**9,
                                        bytes_threshold=bytes_threshold)
             if folded:
                 rewrites["commits"] += 1
                 rewrites["buckets"] += len(folded)
-        elif policy == "full" and pipe.table.delta_depth() >= depth:
+                rewrites["bytes"] += _new_dir_bytes(before)
+        elif policy == "full":
             live = len(pipe.table.snapshot()["live"])
             if compact(spark, pipe.table, batch_id=f"{policy}-{i}::c"):
                 rewrites["commits"] += 1
                 rewrites["buckets"] += live
+                rewrites["bytes"] += _new_dir_bytes(before)
     ingest_s = time.monotonic() - t0
 
     t1 = time.monotonic()
@@ -79,6 +94,7 @@ def run_policy(spark, segs, binlog, policy: str, work: str, n_batches: int, dept
         "ingest_seconds": round(ingest_s, 2),
         "compaction_commits": rewrites["commits"],
         "bucket_rewrites": rewrites["buckets"],
+        "rewritten_mb": round(rewrites["bytes"] / 1e6, 1),
         "final_delta_depth": pipe.table.delta_depth(),
         "final_rows": n_rows,
         "full_read_seconds": round(read_s, 2),
