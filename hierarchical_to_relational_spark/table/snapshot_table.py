@@ -99,7 +99,14 @@ def _bound_to_json(v):
 
     if isinstance(v, bool) or v is None:
         return None
-    if isinstance(v, (int, float, str)):
+    if isinstance(v, float):
+        import math
+
+        # a NaN bound would make every overlap comparison False and
+        # wrongly prune the file (writers normally exclude NaN from
+        # min/max, but never trust a bound NaN can poison)
+        return None if math.isnan(v) else v
+    if isinstance(v, (int, str)):
         return v
     if isinstance(v, datetime.datetime):
         if v.tzinfo is None:
