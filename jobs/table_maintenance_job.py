@@ -15,6 +15,10 @@ Actions:
              metadata for unbounded streams)
   rebucket   migrate to a new bucket count (full rewrite, new bucket spec)
   rollback   roll the table back to a retained historical version
+  lookup     batched point lookup (N conversations, one plan, jobless
+             driver-side bucket hashing + per-key file pruning)
+  scan-range value-range query on any scalar column through the non-key
+             sidecar bounds (two-phase, LWW-resolution-safe)
   history    print the snapshot log
   status     print current version / bucket spec / delta depth+bytes /
              lineage monitoring summary
@@ -79,6 +83,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="write the change rows as parquet here (otherwise "
                          "only counts are printed)")
 
+    lk = sub.add_parser("lookup")
+    lk.add_argument("--conv-ids", required=True, metavar="ID[,ID...]",
+                    help="batched point lookup: live turns of these "
+                         "conversations in ONE plan (driver-side bucket "
+                         "hashing, per-key sidecar file pruning)")
+    lk.add_argument("--out", default=None)
+
+    sr = sub.add_parser("scan-range")
+    sr.add_argument("--col", required=True,
+                    help="any scalar user column (ts, role, turn_idx, ...)")
+    sr.add_argument("--lo", default=None)
+    sr.add_argument("--hi", default=None)
+    sr.add_argument("--out", default=None)
+
     sub.add_parser("history")
     sub.add_parser("status")
     args = p.parse_args(argv)
@@ -132,6 +150,39 @@ def main(argv: list[str] | None = None) -> int:
             out = {"since_version": since_v, "version": v2,
                    "upserts": counts.get("u", 0), "deletes": counts.get("d", 0),
                    "out": args.out}
+            print(json.dumps(out, default=str))
+            return 0
+        if args.action in ("lookup", "scan-range"):
+            import pyspark.sql.functions as _F
+
+            if args.action == "lookup":
+                from hierarchical_to_relational_spark.operators.merge import (
+                    lookup_conversations,
+                )
+
+                keys = [k for k in args.conv_ids.split(",") if k]
+                df = lookup_conversations(spark, table, keys)
+                meta = {"conv_ids": len(keys)}
+            else:
+                from hierarchical_to_relational_spark.operators.merge import scan_range
+
+                def _parse(v):
+                    if v is None:
+                        return None
+                    for cast in (int, float):
+                        try:
+                            return cast(v)
+                        except ValueError:
+                            pass
+                    return v  # string — Spark implicit-casts vs ts/date cols
+
+                df = scan_range(spark, table, args.col,
+                                lo=_parse(args.lo), hi=_parse(args.hi))
+                meta = {"col": args.col, "lo": args.lo, "hi": args.hi}
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+                df = spark.read.parquet(args.out)
+            out = {**meta, "rows": df.count(), "out": args.out}
             print(json.dumps(out, default=str))
             return 0
         if args.action == "compact":

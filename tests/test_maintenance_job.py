@@ -165,3 +165,24 @@ def test_changes_timestamp_cursors(spark, tmp_path, capsys, table):
     with pytest.raises(SystemExit):
         M.main(["--table", root, "changes", "--since-version", "1",
                 "--since-ts", str(t_mid)])
+
+
+def test_lookup_and_scan_range_actions(spark, tmp_path, capsys, table):
+    """The ops CLI serves the round-4 read surfaces: batched lookup and
+    LWW-safe value-range scans, with optional parquet export."""
+    from hierarchical_to_relational_spark.operators.merge import read_transcripts
+
+    root, events = table
+    keys = sorted({r["conv_id"] for r in
+                   read_transcripts(spark, SnapshotTable(root))
+                   .select("conv_id").distinct().limit(3).collect()})
+    lk = _run(capsys, "--table", root, "lookup", "--conv-ids", ",".join(keys),
+              "--out", str(tmp_path / "lk"))
+    assert lk["conv_ids"] == len(keys) and lk["rows"] >= 1
+    got = {r["conv_id"] for r in spark.read.parquet(str(tmp_path / "lk")).collect()}
+    assert got <= set(keys) and got
+
+    sr = _run(capsys, "--table", root, "scan-range", "--col", "role",
+              "--lo", "user", "--hi", "user")
+    want = read_transcripts(spark, SnapshotTable(root)).where("role = 'user'").count()
+    assert sr["rows"] == want > 0
