@@ -24,10 +24,16 @@ apply rows LWW by ``change_lsn`` — it is the defensive idempotent apply
 order for any changelog.
 
 Delivery channels: ``out_dir`` (durable parquet increments) and/or an
-``on_changes`` callback, which fires BEFORE the window's cursor advance —
-a crash or callback error re-polls the same window (at-least-once;
-windows are net state, so re-application converges). A follower with
-neither channel only reports counts.
+``on_changes`` callback. The two channels keep SEPARATE watermarks in the
+cursor file — ``version`` (export cursor: never lags a published window,
+so published exports can never overlap) and ``acked`` (callback cursor:
+advanced only after the callback returns). A crash between export and
+callback, or a callback error, leaves ``acked`` behind; the next poll
+re-delivers the published-but-unacked windows FROM their exports (or one
+recomputed catch-up window if an export was retired) before computing
+anything new — the callback channel is at-least-once and the export
+channel exactly-once, simultaneously. A follower with neither channel
+only reports counts.
 
 A rollback in a polled window raises ``ValueError`` from changes_since
 (rolled-back rows vanish without tombstones): the follower surfaces it
@@ -82,13 +88,28 @@ class ChangeFollower:
             # durable record of what was delivered, so adopt the max
             # published 'to' as the cursor whenever it is ahead of (or
             # missing from) the cursor file.
-            published_to = -1
+            published_to, published_from = -1, None
             for d in glob.glob(os.path.join(out_dir, "inc-*-*")):
                 m = re.fullmatch(r"inc-(\d+)-(\d+)", os.path.basename(d))
                 if m:
                     published_to = max(published_to, int(m.group(2)))
+                    f = int(m.group(1))
+                    published_from = f if published_from is None else min(published_from, f)
             if published_to >= 0 and (self.cursor() is None or published_to > self.cursor()):
-                self._write_cursor(published_to)
+                # Adopt the export cursor, but NOT the callback-ack cursor:
+                # the crash may have happened after the export and before
+                # the callback fired, and silently adopting 'to' for both
+                # would turn the callback channel at-most-once. ``acked``
+                # stays where deliveries verifiably reached (the old
+                # cursor; for a follower with no cursor file at all, the
+                # oldest published 'from' — full published replay is the
+                # honest at-least-once recovery); poll_once re-delivers
+                # published-but-unacked windows from their exports first.
+                old_acked = self._acked()
+                if old_acked is None:
+                    old_cursor = self.cursor()
+                    old_acked = old_cursor if old_cursor is not None else published_from
+                self._write_cursor(published_to, acked=old_acked)
             # a crash between export and rename leaves _stage-* orphans
             # (readers only see inc-* dirs). Remove only STALE ones: a
             # supervisor may restart the follower while the old process is
@@ -104,17 +125,37 @@ class ChangeFollower:
                     pass
 
     # -- cursor ----------------------------------------------------------
-    def cursor(self) -> int | None:
+    # The cursor file holds TWO watermarks: ``version`` — the export/window
+    # cursor (diffs are computed from here; with out_dir it never lags a
+    # published export, so published windows can never overlap) — and
+    # ``acked`` — the version through which the ``on_changes`` callback has
+    # verifiably been delivered. They diverge exactly when a window was
+    # exported but its callback didn't complete (crash or callback error):
+    # the next poll re-delivers those windows FROM their published exports
+    # before computing anything new. Old single-field cursor files load
+    # with acked == version.
+    def _state(self) -> dict | None:
         try:
             with open(self.cursor_path) as f:
-                return json.load(f)["version"]
+                st = json.load(f)
+                st.setdefault("acked", st["version"])
+                return st
         except FileNotFoundError:
             return None
 
-    def _write_cursor(self, version: int) -> None:
+    def cursor(self) -> int | None:
+        st = self._state()
+        return None if st is None else st["version"]
+
+    def _acked(self) -> int | None:
+        st = self._state()
+        return None if st is None else st["acked"]
+
+    def _write_cursor(self, version: int, acked: int | None = None) -> None:
         tmp = f"{self.cursor_path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"version": version}, f)
+            json.dump({"version": version,
+                       "acked": version if acked is None else acked}, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.cursor_path)
@@ -141,19 +182,36 @@ class ChangeFollower:
         materialized anywhere, so consumers that need the data must use one
         of the two delivery channels."""
         v_now = self.table.current_version()
-        since = self.cursor()
+        st = self._state()
+        since = st["version"] if st else None
+        acked = st["acked"] if st else None
         if since is None and self.since_ts is not None:
             # timestamp start point: resume as if a cursor had been pinned
             # at the snapshot current at since_ts — the first poll emits
             # the diff from there
             since = self.table.version_as_of(self.since_ts)
+            acked = since
         if since is None:
             self._write_cursor(v_now)
             return {"from": None, "to": v_now, "upserts": 0, "deletes": 0,
-                    "out_path": None, "needs_resync": False}
+                    "out_path": None, "needs_resync": False, "redelivered": 0}
+        redelivered = 0
+        if on_changes is not None and self.out_dir and acked is not None and acked < since:
+            # published-but-unacked windows (crash between export and
+            # callback, or a prior callback error): re-deliver them FROM
+            # their durable exports before anything new — this is what
+            # keeps the callback channel at-least-once while the export
+            # cursor (which must never lag a published window, or a retry
+            # would publish an overlapping export) runs ahead
+            redelivered, ok = self._redeliver(acked, since, on_changes)
+            if not ok:
+                return {"from": since, "to": v_now, "upserts": 0, "deletes": 0,
+                        "out_path": None, "needs_resync": True,
+                        "redelivered": redelivered}
         if v_now <= since:
             return {"from": since, "to": since, "upserts": 0, "deletes": 0,
-                    "out_path": None, "needs_resync": False}
+                    "out_path": None, "needs_resync": False,
+                    "redelivered": redelivered}
         try:
             df = changes_since(self.spark, self.table, since, version=v_now)
         except ValueError:
@@ -186,16 +244,85 @@ class ChangeFollower:
         res = {"from": since, "to": v_now,
                "upserts": ops.get("u", 0), "deletes": ops.get("d", 0),
                "out_path": out_path, "needs_resync": False,
-               "changes": df}
-        # deliver BEFORE advancing: a crash (or callback error) between
-        # delivery and cursor write re-polls the same window — at-least-once
-        # for callback consumers instead of the at-most-once a
-        # cursor-first order would give
+               "redelivered": redelivered, "changes": df}
+        # deliver BEFORE advancing the ack: a crash (or callback error)
+        # between delivery and cursor write re-delivers the same window —
+        # at-least-once for callback consumers instead of the at-most-once
+        # a cursor-first order would give
         if on_changes is not None and (res["upserts"] or res["deletes"]):
-            on_changes(res)
-        self._write_cursor(v_now)
+            if out_path is not None:
+                try:
+                    on_changes(res)
+                except Exception:
+                    # the export is already durable: advance the EXPORT
+                    # cursor (a re-poll must diff from v_now, or it would
+                    # publish an overlapping inc-since-*), keep ``acked``
+                    # behind so the next poll re-delivers this window from
+                    # its export, then surface the error
+                    self._write_cursor(v_now, acked=since)
+                    raise
+            else:
+                # no durable export: leave the cursor untouched so the next
+                # poll recomputes and re-delivers the same window
+                on_changes(res)
+        # with out_dir but no callback this poll, preserve the ack lag —
+        # advancing it would silently skip delivery for a consumer that
+        # resumes passing on_changes later
+        final_acked = v_now if (on_changes is not None or not self.out_dir) else acked
+        self._write_cursor(v_now, acked=final_acked)
         res.pop("changes")
         return res
+
+    def _redeliver(self, acked: int, upto: int, on_changes) -> tuple[int, bool]:
+        """Re-deliver published-but-unacked windows (acked, upto] to the
+        callback, preferring the durable exports (byte-identical to the
+        original delivery); a gap in the published chain (e.g. an export
+        dir removed by retention) falls back to ONE recomputed catch-up
+        window via ``changes_since`` — still net state, so the consumer
+        converges. Returns (windows delivered, ok); ok=False means the gap
+        could not be recomputed either (rollback / expired snapshot) and
+        the caller must surface ``needs_resync``. Advances ``acked`` in
+        the cursor file after each delivered window."""
+        wins = []
+        for d in glob.glob(os.path.join(self.out_dir, "inc-*-*")):
+            m = re.fullmatch(r"inc-(\d+)-(\d+)", os.path.basename(d))
+            if m:
+                f, t = int(m.group(1)), int(m.group(2))
+                if f >= acked and t > acked and t <= upto:
+                    wins.append((f, t, d))
+        wins.sort()
+        n, pos = 0, acked
+        for f, t, d in wins:
+            if f != pos:
+                break  # gap in the chain → recompute the rest below
+            df = self.spark.read.parquet(d)
+            ops = {r["change_op"]: r["n"] for r in
+                   df.groupBy("change_op").count().withColumnRenamed("count", "n").collect()}
+            res = {"from": f, "to": t,
+                   "upserts": ops.get("u", 0), "deletes": ops.get("d", 0),
+                   "out_path": d, "needs_resync": False, "redelivery": True,
+                   "changes": df}
+            if res["upserts"] or res["deletes"]:
+                on_changes(res)  # error → propagate; acked stays at pos
+                n += 1
+            pos = t
+            self._write_cursor(upto, acked=t)
+        if pos < upto:
+            try:
+                df = changes_since(self.spark, self.table, pos, version=upto)
+            except (ValueError, FileNotFoundError):
+                return n, False  # rollback / expired — full resync needed
+            ops = {r["change_op"]: r["n"] for r in
+                   df.groupBy("change_op").count().withColumnRenamed("count", "n").collect()}
+            res = {"from": pos, "to": upto,
+                   "upserts": ops.get("u", 0), "deletes": ops.get("d", 0),
+                   "out_path": None, "needs_resync": False, "redelivery": True,
+                   "changes": df}
+            if res["upserts"] or res["deletes"]:
+                on_changes(res)
+                n += 1
+            self._write_cursor(upto, acked=upto)
+        return n, True
 
     def run(
         self,

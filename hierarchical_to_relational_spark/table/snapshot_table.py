@@ -117,6 +117,29 @@ def _bound_to_json(v):
     return None
 
 
+def _query_bound_to_json(v):
+    """USER-SUPPLIED bound (``col_ranges`` / ``scan_range``) → the same
+    JSON-orderable form ``_bound_to_json`` stores in the sidecar — with one
+    deliberate difference: a NAIVE datetime is interpreted in the driver's
+    LOCAL timezone, because that is what PySpark's own driver-side literal
+    conversion does (``TimestampType.toInternal`` uses ``time.mktime`` for
+    naive values; the UTC session timezone only governs the SQL side). The
+    sidecar's write-side bounds come from parquet footer stats, which
+    pyarrow surfaces tz-aware-UTC — so write-side stays UTC while QUERY
+    bounds must match the row filter the same naive datetime produces, or
+    pruning drifts from the filter by the driver's TZ offset and silently
+    drops matching rows on a non-UTC driver. Property-tested against
+    ``TimestampType.toInternal`` under non-UTC TZ in test_table."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is None:
+        import time as _time
+
+        seconds = _time.mktime(v.timetuple())
+        return int(seconds) * 1_000_000 + v.microsecond
+    return _bound_to_json(v)
+
+
 def _widens(frm: T.DataType, to: T.DataType) -> bool:
     """True iff ``to`` is a STRICT lossless widening of ``frm``."""
     if frm == to:
@@ -502,7 +525,13 @@ class SnapshotTable:
                 paths = [base]  # no sidecar: scan the whole flat commit dir
             if not paths:
                 continue  # every file in this commit dir pruned
-            df = spark.read.parquet(*paths)
+            # basePath keeps PRE-round-4 commit dirs readable: their files
+            # live under physical ``_bucket=k/`` partition subdirs, and an
+            # explicit leaf-file read without basePath would never
+            # reconstruct the ``_bucket`` partition column (AnalysisException
+            # on the select below). For flat-layout dirs (no partition
+            # subdirs, ``_bucket`` is a data column) the option is a no-op.
+            df = spark.read.option("basePath", base).parquet(*paths)
             # project old files up to the current schema in ONE select:
             # null-fill columns added after this commit, cast columns the
             # schema has since WIDENED (files keep narrow physical types)
@@ -564,7 +593,7 @@ class SnapshotTable:
         norm_ranges = None
         if col_ranges:
             norm_ranges = {
-                c: (_bound_to_json(lo), _bound_to_json(hi))
+                c: (_query_bound_to_json(lo), _query_bound_to_json(hi))
                 for c, (lo, hi) in col_ranges.items()
             }
 
@@ -572,11 +601,23 @@ class SnapshotTable:
             if rng is None or mm is None:
                 return True  # no predicate, or no recorded bounds → keep
             lo, hi = rng
-            return (lo is None or mm[1] >= lo) and (hi is None or mm[0] <= hi)
+            try:
+                return (lo is None or mm[1] >= lo) and (hi is None or mm[0] <= hi)
+            except TypeError:
+                # cross-type comparison (e.g. a string CLI bound vs an
+                # epoch-micros sidecar bound): pruning must stay
+                # SUPERSET-safe, so an incomparable pair keeps the file —
+                # the exact row filter on top decides.
+                return True
 
         keep = []
         for rel, st in sorted(stats.items()):
             bmm = st.get("_bucket")
+            if bmm is None and "_bucket=" in rel:
+                # pre-round-4 layout: bucket membership is encoded in the
+                # physical partition dir, not the sidecar — file-exact
+                b = int(rel.split("_bucket=", 1)[1].split(os.sep, 1)[0].split("/", 1)[0])
+                bmm = [b, b]
             if bmm is not None and not any(bmm[0] <= b <= bmm[1] for b in wanted_ints):
                 continue
             if not (overlaps(st.get("conv_id"), key_range) and overlaps(st.get("_lsn"), lsn_range)):

@@ -166,15 +166,32 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 from hierarchical_to_relational_spark.operators.merge import scan_range
 
+                # Coerce CLI string bounds by the COLUMN's type, resolved
+                # from the table schema — a bare string reaching the
+                # sidecar's epoch-micros bounds would either TypeError
+                # (str vs int compare) or, as a numeric epoch-seconds
+                # guess, silently prune every file (seconds vs micros).
+                col_type = {f.name: f.dataType.typeName()
+                            for f in table.schema().fields}.get(args.col)
+
                 def _parse(v):
                     if v is None:
                         return None
-                    for cast in (int, float):
+                    if col_type in ("timestamp", "timestamp_ntz", "date"):
+                        import datetime
+
+                        dt = datetime.datetime.fromisoformat(v)
+                        return dt.date() if col_type == "date" else dt
+                    if col_type in ("byte", "short", "integer", "long"):
+                        return int(v)
+                    if col_type in ("float", "double", "decimal"):
+                        return float(v)
+                    for cast in (int, float):  # unknown column: best effort
                         try:
                             return cast(v)
                         except ValueError:
                             pass
-                    return v  # string — Spark implicit-casts vs ts/date cols
+                    return v
 
                 df = scan_range(spark, table, args.col,
                                 lo=_parse(args.lo), hi=_parse(args.hi))

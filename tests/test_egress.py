@@ -233,3 +233,107 @@ def test_follower_since_ts_start(spark, tmp_path):
     f2 = ChangeFollower(spark, pipe.table, cursor, since_ts=0.0)
     p2 = f2.poll_once()
     assert p2["from"] == p["to"] and p2["upserts"] == 1
+
+
+def _win_dirs(out):
+    import re
+
+    return sorted(os.path.basename(d) for d in os.listdir(out)
+                  if re.fullmatch(r"inc-\d+-\d+", d))
+
+
+def test_callback_redelivered_after_export_crash(spark, tmp_path):
+    """out_dir + on_changes: a crash AFTER publishing inc-A-B but BEFORE the
+    callback fired must not lose the callback delivery of that window — the
+    restarted follower adopts the export cursor but keeps ``acked`` behind
+    and re-delivers A-B from its export, then B-C fresh; and it never
+    publishes an overlapping inc-A-C."""
+    import json
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    cursor = str(tmp_path / "cursor.json")
+    out = str(tmp_path / "egress")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "a0", None)])]), "b0")
+    f = ChangeFollower(spark, pipe.table, cursor, out_dir=out)
+    f.poll_once(on_changes=lambda r: None)  # pin
+    v_a = f.cursor()
+    pipe.apply_batch(_env_rows(spark, [(2, "insert", "cB", [(0, "user", "b0", None)])]), "b1")
+    p1 = f.poll_once(on_changes=lambda r: None)  # exports + delivers inc-A-B
+    v_b = p1["to"]
+    # simulate the crash between export and callback: cursor rolled back to
+    # A with no ack of the published window
+    with open(cursor, "w") as fh:
+        json.dump({"version": v_a}, fh)
+    pipe.apply_batch(_env_rows(spark, [(3, "insert", "cC", [(0, "user", "c0", None)])]), "b2")
+
+    got = []
+    f2 = ChangeFollower(spark, pipe.table, cursor, out_dir=out)
+    assert f2.cursor() == v_b, "export cursor adopted from the published window"
+    assert f2._acked() == v_a, "ack cursor stayed at the last delivered point"
+    p2 = f2.poll_once(on_changes=lambda r: got.append((r["from"], r["to"], r["upserts"])))
+    assert p2["redelivered"] == 1
+    assert got[0] == (v_a, v_b, 1), "published window re-delivered from its export"
+    assert got[1] == (v_b, p2["to"], 1), "then the new window"
+    assert _win_dirs(out) == [f"inc-{v_a:010d}-{v_b:010d}",
+                              f"inc-{v_b:010d}-{p2['to']:010d}"], "no overlap"
+    assert f2._acked() == f2.cursor() == p2["to"]
+
+
+def test_callback_error_with_export_never_overlaps(spark, tmp_path):
+    """out_dir + on_changes: a callback error after the export advances the
+    EXPORT cursor (so a retry with new commits can never publish an
+    overlapping inc-A-C next to inc-A-B) while ``acked`` stays behind; the
+    next poll re-delivers A-B from the export and publishes B-C."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    cursor = str(tmp_path / "cursor.json")
+    out = str(tmp_path / "egress")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "a0", None)])]), "b0")
+    f = ChangeFollower(spark, pipe.table, cursor, out_dir=out)
+    f.poll_once()  # pin
+    v_a = f.cursor()
+    pipe.apply_batch(_env_rows(spark, [(2, "insert", "cB", [(0, "user", "b0", None)])]), "b1")
+
+    def boom(res):
+        raise RuntimeError("downstream hiccup")
+
+    with pytest.raises(RuntimeError):
+        f.poll_once(on_changes=boom)
+    v_b = f.cursor()
+    assert v_b > v_a and f._acked() == v_a, "export advanced, ack did not"
+    # new commits land, then a healthy retry
+    pipe.apply_batch(_env_rows(spark, [(3, "insert", "cC", [(0, "user", "c0", None)])]), "b2")
+    got = []
+    p = f.poll_once(on_changes=lambda r: got.append((r["from"], r["to"])))
+    assert [w[:2] for w in got] == [(v_a, v_b), (v_b, p["to"])]
+    assert _win_dirs(out) == [f"inc-{v_a:010d}-{v_b:010d}",
+                              f"inc-{v_b:010d}-{p['to']:010d}"], "no overlap"
+
+
+def test_redelivery_gap_falls_back_to_recompute(spark, tmp_path):
+    """If a published-but-unacked export was retired (dir deleted), the
+    follower recomputes ONE catch-up window via changes_since — the
+    callback still converges (net state), nothing is silently skipped."""
+    import json
+    import shutil
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    cursor = str(tmp_path / "cursor.json")
+    out = str(tmp_path / "egress")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "a0", None)])]), "b0")
+    f = ChangeFollower(spark, pipe.table, cursor, out_dir=out)
+    f.poll_once()
+    v_a = f.cursor()
+    pipe.apply_batch(_env_rows(spark, [(2, "insert", "cB", [(0, "user", "b0", None)])]), "b1")
+    p1 = f.poll_once(on_changes=lambda r: None)
+    v_b = p1["to"]
+    shutil.rmtree(p1["out_path"])  # retention removed the export
+    with open(cursor, "w") as fh:  # ...and the callback was never acked
+        json.dump({"version": v_b, "acked": v_a}, fh)
+
+    got = []
+    p2 = f.poll_once(on_changes=lambda r: got.append((r["from"], r["to"], r.get("redelivery"))))
+    assert p2["redelivered"] == 1 and got == [(v_a, v_b, True)]
+    assert f._acked() == f.cursor() == v_b

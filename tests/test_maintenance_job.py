@@ -7,6 +7,7 @@ import json
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/jobs")
@@ -186,3 +187,29 @@ def test_lookup_and_scan_range_actions(spark, tmp_path, capsys, table):
               "--lo", "user", "--hi", "user")
     want = read_transcripts(spark, SnapshotTable(root)).where("role = 'user'").count()
     assert sr["rows"] == want > 0
+
+
+def test_scan_range_timestamp_bounds_coerced(spark, tmp_path, capsys, table):
+    """ISO-string --lo/--hi on a timestamp column are coerced by the
+    COLUMN's type (resolved from the table schema) before they reach the
+    sidecar's epoch-micros bounds — a raw string would TypeError against
+    the int bounds, and a numeric epoch-seconds guess would silently
+    prune every file (seconds vs micros)."""
+    from hierarchical_to_relational_spark.operators.merge import read_transcripts
+
+    root, events = table
+    t = SnapshotTable(root)
+    lo, hi = (read_transcripts(spark, t)
+              .selectExpr("min(ts)", "max(ts)").first())
+    mid = lo + (hi - lo) / 2
+    sr = _run(capsys, "--table", root, "scan-range", "--col", "ts",
+              "--lo", lo.isoformat(), "--hi", mid.isoformat())
+    want = (read_transcripts(spark, t)
+            .where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(mid)))
+            .count())
+    assert sr["rows"] == want > 0
+    # an integer band on turn_idx still coerces to int
+    sr2 = _run(capsys, "--table", root, "scan-range", "--col", "turn_idx",
+               "--lo", "0", "--hi", "0")
+    want2 = read_transcripts(spark, t).where("turn_idx = 0").count()
+    assert sr2["rows"] == want2 > 0

@@ -860,3 +860,96 @@ def test_col_ranges_pruning_and_scan_range(spark, tmp_path):
     # same answers through the z-ordered base
     assert {r["conv_id"] for r in scan_range(spark, t, "ts", lo=day(15)).collect()} == {"cD"}
     assert scan_range(spark, t, "ts", day(0), day(1)).count() == 0
+
+
+def test_pre_round4_bucket_dir_layout_still_readable(spark, tmp_path):
+    """Back-compat (round-4 migration hazard): a commit dir written by the
+    PRE-flat layout — files under physical ``_bucket=k/`` partition
+    subdirs, sidecar rel paths carrying the partition dir, no per-file
+    ``_bucket``/``cols`` sidecar keys, no ``_bucket`` data column — must
+    stay readable: the explicit-leaf-file read reconstructs ``_bucket``
+    via basePath, and bucket pruning falls back to the partition-dir
+    encoding in the rel path."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    rows = [(f"k{i}", i) for i in range(12)]
+    df = _bucketed(spark, t, rows)
+    t.commit_overwrite_buckets(df, _buckets(df), "b1")
+    commit_dirs = {d for dirs in t.snapshot()["live"].values() for d in dirs}
+    assert len(commit_dirs) == 1
+    cdir = os.path.join(t.root, commit_dirs.pop())
+    # rewrite the commit dir on disk in the round-3 physical layout
+    old_stats: dict = {}
+    for i, f in enumerate(sorted(glob.glob(os.path.join(cdir, "*.parquet")))):
+        pdf = papq.read_table(f).to_pandas()
+        for b, grp in pdf.groupby("_bucket"):
+            rel = os.path.join(f"_bucket={int(b)}", f"part-{i:05d}.parquet")
+            os.makedirs(os.path.dirname(os.path.join(cdir, rel)), exist_ok=True)
+            papq.write_table(
+                pa.Table.from_pandas(grp.drop(columns=["_bucket"]),
+                                     preserve_index=False),
+                os.path.join(cdir, rel))
+            old_stats[rel] = {"conv_id": None, "_lsn": None}
+        os.remove(f)
+    with open(os.path.join(cdir, "_file_stats.json"), "w") as fh:
+        _json.dump(old_stats, fh)
+
+    t2 = SnapshotTable(t.root)  # fresh instance: no memoized sidecar
+    out = t2.read(spark)
+    assert {tuple(r) for r in out.select("k", "v").collect()} == set(rows)
+    # bucket-filtered read: partition-dir pruning + exact bucket filter
+    want_bucket = _buckets(df)[0]
+    sub = t2.read(spark, buckets=[want_bucket])
+    assert {r[0] for r in sub.select("_bucket").distinct().collect()} == {want_bucket}
+    with_all = {tuple(r) for r in out.where(F.col("_bucket") == want_bucket)
+                .select("k", "v").collect()}
+    assert {tuple(r) for r in sub.select("k", "v").collect()} == with_all
+
+
+def test_query_bound_matches_pyspark_naive_datetime_conversion():
+    """col_ranges/scan_range pruning bounds for NAIVE datetimes must equal
+    what PySpark's own driver-side literal conversion produces
+    (TimestampType.toInternal = local mktime) — under a NON-UTC driver TZ
+    too, or pruning drifts from the row filter by the TZ offset and
+    silently drops matching rows."""
+    import datetime
+    import time as _time
+
+    from pyspark.sql.types import TimestampType
+
+    from hierarchical_to_relational_spark.table.snapshot_table import (
+        _query_bound_to_json,
+    )
+
+    old = os.environ.get("TZ")
+    try:
+        for tz in ("America/New_York", "Asia/Tokyo", "UTC"):
+            os.environ["TZ"] = tz
+            _time.tzset()
+            for dt in (datetime.datetime(2026, 1, 15, 12, 30, 45, 123456),
+                       datetime.datetime(2025, 7, 1, 0, 0, 0)):
+                assert _query_bound_to_json(dt) == TimestampType().toInternal(dt), tz
+            aware = datetime.datetime(2026, 1, 15, 12, 0,
+                                      tzinfo=datetime.timezone.utc)
+            assert _query_bound_to_json(aware) == TimestampType().toInternal(aware), tz
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()
+
+
+def test_pruning_keeps_file_on_incomparable_bounds(spark, tmp_path):
+    """A cross-type col_ranges bound (e.g. a string vs an int sidecar
+    bound) must keep the file — superset-safe — instead of raising
+    TypeError or wrongly pruning."""
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    df = _bucketed(spark, t, [("a", 1), ("b", 2)])
+    t.commit_overwrite_buckets(df, _buckets(df), "b1")
+    out = t.read(spark, col_ranges={"v": ("not-a-number", None)})
+    assert out.count() == 2, "incomparable bound kept every file"
