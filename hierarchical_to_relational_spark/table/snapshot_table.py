@@ -242,6 +242,23 @@ class SnapshotTable:
         self._ledger_stamp: tuple | None = None
         # per-commit-dir min-max sidecar memo (dirs are immutable)
         self._file_stats_cache: dict[str, dict | None] = {}
+        # Per-commit accounting source. "observe" piggybacks the per-bucket
+        # rows/max-LSN/tombstone aggregates on the WRITE JOB itself via
+        # df.observe — executor-side, zero extra pass, NO driver read of
+        # just-written data files. "pyarrow" reads the (bucket, lsn)
+        # columns driver-side. "auto" (default) picks by ROOT LOCALITY,
+        # from a round-5 measurement on a 3.4M-row commit: the driver
+        # pyarrow read costs ~150 ms (page-cached local files, vectorized
+        # numpy ≈ 45 ms per M rows, serial) while the observe aggregates
+        # cost ~1.2 s of parallel executor time (2·n_buckets+3 interpreted
+        # CollectMetrics expressions per row ≈ 0.35 µs/row) — so on a
+        # POSIX-local root the driver read wins outright, and on an object
+        # store (where a driver data read is remote I/O on the commit hot
+        # path, or impossible) observe is the only sane choice and its
+        # cost rides the cluster's parallelism. Either way the per-file
+        # min-max sidecar comes from parquet FOOTERS only (metadata pages,
+        # ~5 ms), never data pages.
+        self.stats_mode: str = "auto"
 
     # ---------- snapshot log ----------
 
@@ -645,6 +662,7 @@ class SnapshotTable:
         schema: T.StructType,
         repartition: bool,
         cluster_by: str | None = None,
+        n_buckets: int | None = None,
     ) -> tuple[str, set[str]]:
         """Write one FLAT commit dir (``data/c-<uuid>/part-*.parquet``) with
         ``_bucket`` stored as a data column; per-file bucket membership and
@@ -712,6 +730,42 @@ class SnapshotTable:
                 salt = F.pmod(F.xxhash64(*[c for c in ordered if c != "_bucket"][:2]), F.lit(8))
                 sort_cols = ["_bucket"] + (["conv_id"] if "conv_id" in ordered else [])
                 out = out.repartition(F.col("_bucket"), salt).sortWithinPartitions(*sort_cols)
+            # EXECUTOR-SIDE per-commit accounting (round 5): piggyback the
+            # per-bucket rows / max-LSN / tombstone aggregates on the write
+            # job itself via df.observe — a map-side accumulator pass, zero
+            # extra job, and (the point at scale) no driver-side read of
+            # just-written DATA files: at the production 10^7-events/batch
+            # trigger the old pyarrow path re-read ~160 MB of (bucket, lsn)
+            # columns per commit on the driver, which on an object store is
+            # remote I/O on the commit hot path. 2·n_buckets+3 conditional
+            # aggregates stay cheap through codegen for ≤256 buckets; wider
+            # specs fall back to the pyarrow read.
+            nb = self.n_buckets if n_buckets is None else n_buckets
+            obs = None
+            mode = self.stats_mode
+            if mode == "auto":
+                # remote roots (scheme://) can't be read driver-side with
+                # pyarrow/os — executor-side observe is the only path;
+                # local roots measured faster with the driver column read
+                mode = "observe" if "://" in self.root else "pyarrow"
+            if mode == "observe" and nb <= 256:
+                from pyspark.sql import Observation
+
+                cols = set(ordered)
+                aggs = [F.count(F.lit(1)).alias("rows")]
+                if "_lsn" in cols:
+                    aggs.append(F.max("_lsn").alias("max_lsn"))
+                if "turn_idx" in cols:
+                    aggs.append(F.sum(F.when(F.col("turn_idx").isNull(), 1)
+                                      .otherwise(0)).alias("deletes"))
+                for k in range(nb):
+                    aggs.append(F.sum(F.when(F.col("_bucket") == k, 1)
+                                      .otherwise(0)).alias(f"r{k}"))
+                    if "_lsn" in cols:
+                        aggs.append(F.max(F.when(F.col("_bucket") == k,
+                                                 F.col("_lsn"))).alias(f"l{k}"))
+                obs = Observation()
+                out = out.observe(obs, *aggs)
             writer = out.write.mode("overwrite")
             if cluster_by is None:
                 # hash-ordered writes (appends / CoW batches): key bloom
@@ -724,7 +778,19 @@ class SnapshotTable:
         finally:
             if persisted is not None:
                 persisted.unpersist()
-        self.last_commit_stats, file_stats, written = self._footer_stats(commit_abs)
+        observed = None
+        if obs is not None:
+            try:
+                observed = obs.get
+            except Exception:
+                observed = None  # metrics unavailable → pyarrow fallback
+        if observed is not None and observed.get("rows") is not None:
+            self.last_commit_stats, written = self._observed_stats(
+                observed, nb, commit_abs
+            )
+            _, file_stats, _ = self._footer_stats(commit_abs, read_data=False)
+        else:
+            self.last_commit_stats, file_stats, written = self._footer_stats(commit_abs)
         # per-file min-max sidecar (Iceberg manifest-entry stats analog):
         # read-side file pruning reads this tiny JSON instead of footers.
         # Lives inside the commit dir ("_"-prefixed → invisible to Spark
@@ -734,12 +800,40 @@ class SnapshotTable:
         return commit_rel, written
 
     @staticmethod
+    def _observed_stats(m: dict, nb: int, commit_abs: str) -> tuple[dict, dict]:
+        """Executor-computed commit metrics (from the write job's
+        ``df.observe`` row) → (metrics, written-bytes manifest). Per-bucket
+        byte attribution is rows-proportional across the COMMIT (the
+        pyarrow fallback attributes within each file) — manifest bytes feed
+        compaction pressure, where commit-level proportionality is just as
+        good and costs nothing."""
+        rows = int(m["rows"])
+        bucket_rows = {str(k): int(m[f"r{k}"]) for k in range(nb) if m.get(f"r{k}")}
+        bucket_max_lsn = {str(k): int(m[f"l{k}"]) for k in range(nb)
+                          if m.get(f"l{k}") is not None and bucket_rows.get(str(k))}
+        deletes = int(m.get("deletes") or 0)
+        total_bytes = sum(os.path.getsize(f)
+                          for f in glob.glob(os.path.join(commit_abs, "*.parquet")))
+        written = {b: int(round(total_bytes * r / rows))
+                   for b, r in bucket_rows.items()} if rows else {}
+        metrics = {
+            "rows_written": rows,
+            "max_lsn": None if m.get("max_lsn") is None else int(m["max_lsn"]),
+            "deletes": deletes,
+            "upserts": rows - deletes,
+            "bucket_max_lsn": bucket_max_lsn,
+            "bucket_rows": bucket_rows,
+        }
+        return metrics, written
+
+    @staticmethod
     def _footer_stats(
         commit_abs: str,
         lsn_col: str = "_lsn",
         tombstone_null_col: str = "turn_idx",
         key_col: str = "conv_id",
         bucket_col: str = "_bucket",
+        read_data: bool = True,
     ) -> tuple[dict, dict, dict]:
         """Commit metrics + per-file pruning stats + per-bucket accounting,
         driver-side with NO Spark job. Returns ``(metrics, file_stats,
@@ -856,7 +950,7 @@ class SnapshotTable:
                 "cols": {c: mm for c, mm in col_mm.items() if mm is not None},
             }
             # exact per-bucket rows + max-LSN from the data columns
-            if bucket_col in names and md.num_rows > 0:
+            if read_data and bucket_col in names and md.num_rows > 0:
                 cols = [bucket_col] + ([lsn_col] if lsn_col in names else [])
                 tbl = pf.read(columns=cols)
                 b = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1088,7 +1182,8 @@ class SnapshotTable:
         base_live = self.snapshot(base_version)["live"]
         schema = self.schema()
         commit_rel, written = self._write_commit_data(
-            df, schema, repartition=True, cluster_by=cluster_by
+            df, schema, repartition=True, cluster_by=cluster_by,
+            n_buckets=new_n_buckets,
         )
 
         def update(live: dict) -> dict:

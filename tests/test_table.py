@@ -953,3 +953,52 @@ def test_pruning_keeps_file_on_incomparable_bounds(spark, tmp_path):
     t.commit_overwrite_buckets(df, _buckets(df), "b1")
     out = t.read(spark, col_ranges={"v": ("not-a-number", None)})
     assert out.count() == 2, "incomparable bound kept every file"
+
+
+def test_observe_accounting_matches_pyarrow_and_skips_data_read(spark, tmp_path, monkeypatch):
+    """Round-5: per-commit accounting (rows / max-LSN / tombstones, global
+    and per bucket) comes from the WRITE JOB's df.observe aggregates —
+    executor-side, no driver read of just-written data files. It must agree
+    exactly with the legacy pyarrow column-read path, and the observe-mode
+    commit must never touch data pages on the driver (footer metadata
+    only)."""
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("_lsn", T.LongType(), True),
+    ])
+    rows = ([(f"c{i % 7}", i, 100 + i) for i in range(40)]
+            + [("c1", None, 500), ("c3", None, 501)])  # tombstones
+
+    def build(mode):
+        t = SnapshotTable.create(str(tmp_path / f"t-{mode}"), schema, n_buckets=4)
+        t.stats_mode = mode
+        df = (spark.createDataFrame(rows, "conv_id string, turn_idx int, _lsn long")
+              .withColumn("_bucket", t.bucket_col()(F.col("conv_id"))))
+        bks = sorted(r[0] for r in df.select("_bucket").distinct().collect())
+        t.commit_overwrite_buckets(df, bks, "b1")
+        return t
+
+    t_obs = build("observe")
+
+    # observe mode: data pages must never be read driver-side on commit
+    import pyarrow.parquet as papq
+
+    def no_data_read(self, *a, **k):
+        raise AssertionError("driver read data pages on the commit hot path")
+
+    monkeypatch.setattr(papq.ParquetFile, "read", no_data_read)
+    t_obs2 = SnapshotTable.create(str(tmp_path / "t-obs2"), schema, n_buckets=4)
+    t_obs2.stats_mode = "observe"
+    df2 = (spark.createDataFrame(rows, "conv_id string, turn_idx int, _lsn long")
+           .withColumn("_bucket", t_obs2.bucket_col()(F.col("conv_id"))))
+    t_obs2.commit_append(df2, "b1")
+    monkeypatch.undo()
+
+    t_py = build("pyarrow")
+    mo, mp = t_obs.last_commit_stats, t_py.last_commit_stats
+    assert mo == mp, f"observe metrics diverge from pyarrow: {mo} vs {mp}"
+    assert mo["rows_written"] == 42 and mo["deletes"] == 2
+    assert mo["max_lsn"] == 501
+    assert mo["bucket_rows"] == mp["bucket_rows"]
+    assert mo["bucket_max_lsn"] == mp["bucket_max_lsn"]
