@@ -27,23 +27,63 @@ META_OP = "_op"
 META_BUCKET = "_bucket"
 
 
-@pandas_udf(T.StringType())
-def normalize_text_arrow(texts: pd.Series) -> pd.Series:
-    """Vectorized text cleanup: Unicode NFC, strip control chars, collapse
-    whitespace. Arrow-batched (10-100× a row-at-a-time Python UDF).
+# Python re's ``\s`` on str is ASCII whitespace PLUS the Unicode
+# White_Space set; RE2 (pyarrow.compute) ``\s`` is ASCII-only. This class
+# spells out the remainder so the C++ pass is bit-identical to the
+# reference semantics (the \x0b\x0c\x1c-\x1f members of White_Space cannot
+# appear here — the control-strip pass removes them first). Fuzz-proven
+# equal to the pure-pandas body in test_cdc.
+_WS_CLASS = (r"[\s\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}"
+             r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+")
 
-    Round-4 note: a fully C++ variant via ``pyarrow.compute`` was built
-    and fuzz-compared — rejected because this pyarrow's
-    ``utf8_normalize`` returns DECOMPOSED output for every form (NFC
-    requests included), breaking NFC parity, and the measured end-to-end
-    win of the RE2 passes was only ~1.3× (the regex work, not the NFC
-    map, dominates). ``unicodedata.normalize`` is a C call; only the map
-    dispatch is per-row Python."""
+
+def _normalize_series(texts: pd.Series) -> pd.Series:
+    """The normalize body, shared by the pandas_udf and its parity tests:
+    Unicode NFC, strip control chars, collapse whitespace, trim.
+
+    Round-5 split of where the time goes (645k real corpus texts): NFC map
+    0.13 s, control-strip 0.64 s, whitespace-collapse+trim 2.18 s — the
+    regex passes dominate 20× over NFC. So the regexes run in pyarrow's
+    RE2 (C++, 2.2× the pandas object-loop passes, measured bit-equal) and
+    only NFC stays Python-side — further gated by ``str.isascii`` (a C
+    check; NFC is the identity on ASCII), so a mostly-ASCII corpus skips
+    the normalize call entirely. This pyarrow's ``utf8_normalize`` remains
+    unusable (returns decomposed output for every form — re-verified on
+    pyarrow 16.1.0), else NFC would be C++ too."""
+    import unicodedata
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = texts.map(
+        lambda t: t if t is None or t.isascii() else unicodedata.normalize("NFC", t)
+    )
+    # explicit string type: an all-None/empty batch would otherwise infer
+    # a null-typed array, which the regex kernels reject
+    arr = pa.Array.from_pandas(s, type=pa.string())
+    arr = pc.replace_substring_regex(
+        arr, pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f]", replacement=""
+    )
+    arr = pc.replace_substring_regex(arr, pattern=_WS_CLASS, replacement=" ")
+    return pc.utf8_trim(arr, " ").to_pandas()
+
+
+def _normalize_series_pandas(texts: pd.Series) -> pd.Series:
+    """Pure-pandas reference body (the pre-round-5 implementation), kept
+    as the parity oracle for the fuzz test."""
     import unicodedata
 
     s = texts.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
     s = s.str.replace(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", regex=True)
     return s.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+@pandas_udf(T.StringType())
+def normalize_text_arrow(texts: pd.Series) -> pd.Series:
+    """Vectorized text cleanup: Unicode NFC, strip control chars, collapse
+    whitespace. Arrow-batched (10-100× a row-at-a-time Python UDF); the
+    body is C++ RE2 + ascii-gated NFC — see _normalize_series."""
+    return _normalize_series(texts)
 
 
 def normalize_text_builtin(col):
