@@ -373,7 +373,30 @@ def q_cdc_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cdc_table(spark: SparkSession, sf_dir: str, n_batches: int = 3):
+def q_cdc_eq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality probe on a NON-KEY high-cardinality column through the
+    round-5 Bloom-sidecar secondary index (SnapshotTable index_cols): the
+    table is created with index_cols=["text"], so every commit writes a
+    per-file Bloom over the text column into the manifest sidecar, and
+    scan_range(text, v, v) prunes candidate files by bloom membership —
+    where min-max bounds alone keep every file (hash-like values span
+    every file's range). Resolution safety is scan_range's usual
+    two-phase contract; the oracle filters the SQL final state by the
+    same probe value (the first non-null text in (conv_id, turn_idx)
+    order — guaranteed non-empty, so the row can't pass trivially)."""
+    from hierarchical_to_relational_spark.operators.merge import scan_range
+
+    from hierarchical_to_relational_spark.operators.merge import read_transcripts
+
+    table = _cdc_table(spark, sf_dir, index_cols=["text"])
+    probe = (read_transcripts(spark, table).where(F.col("text").isNotNull())
+             .orderBy("conv_id", "turn_idx").select("text").first())[0]
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+    return scan_range(spark, table, "text", lo=probe, hi=probe).select(*cols)
+
+
+def _cdc_table(spark: SparkSession, sf_dir: str, n_batches: int = 3,
+               index_cols: list | None = None):
     """The _run_cdc replay, returning the TABLE (for queries that read it
     in a non-default way)."""
     env = _mk_envelopes(_t(spark, sf_dir, "events"))
@@ -386,7 +409,8 @@ def _cdc_table(spark: SparkSession, sf_dir: str, n_batches: int = 3):
         T.StructField("tool", T.StringType(), True),
         T.StructField("ts", T.TimestampType(), True),
     ]
-    table = SnapshotTable.create(os.path.join(root, "transcripts"), table_schema_for(turn_cols), 8)
+    table = SnapshotTable.create(os.path.join(root, "transcripts"), table_schema_for(turn_cols), 8,
+                                 index_cols=index_cols)
     for b in range(n_batches):
         batch = env.where(F.col("lsn") % n_batches == b)
         upserts, deletes = normalize_envelopes(batch, text_mode="none")
@@ -475,6 +499,12 @@ _CDC_SCAN_RANGE_ORACLE = _CDC_FINAL_STATE_CTE + """
 _CDC_LOOKUP_BATCH_ORACLE = _CDC_FINAL_STATE_CTE + """
     SELECT conv_id, turn_idx, role, text, ts FROM final
     WHERE conv_id IN (SELECT 'u' || CAST(i AS VARCHAR) FROM range(1, 26) t(i))
+"""
+
+_CDC_EQ_PROBE_ORACLE = _CDC_FINAL_STATE_CTE + """
+    SELECT conv_id, turn_idx, role, text, ts FROM final
+    WHERE text = (SELECT text FROM final WHERE text IS NOT NULL
+                  ORDER BY conv_id, turn_idx LIMIT 1)
 """
 
 _CDC_WIDENING_ORACLE = """
@@ -1063,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_since": q_cdc_changes_since,
         "cdc_scan_range": q_cdc_scan_range,
         "cdc_lookup_batch": q_cdc_lookup_batch,
+        "cdc_eq_probe": q_cdc_eq_probe,
         "cdc_widening": q_cdc_widening,
         "agg_pricing": q_agg_pricing,
         "shipping_priority": q_shipping_priority,
@@ -1217,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes_since": _CDC_CHANGES_ORACLE,
         "cdc_scan_range": _CDC_SCAN_RANGE_ORACLE,
         "cdc_lookup_batch": _CDC_LOOKUP_BATCH_ORACLE,
+        "cdc_eq_probe": _CDC_EQ_PROBE_ORACLE,
         "cdc_widening": _CDC_WIDENING_ORACLE,
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -232,7 +232,43 @@ def main() -> None:
         "cpus": int(cpus),
         **cdc,
     }
+    out.update(_pinned_pass())
     print(json.dumps(out))
+
+
+def _pinned_pass() -> dict:
+    """Round-5 protocol unification: re-run the suite once PINNED
+    (taskset, fresh JVM, fixed core set) so BENCH_rN carries timings under
+    the same noise-controlled protocol BENCH/BASELINE.md uses — unpinned
+    local[32] numbers on this host swing with CPU steal and JVM helper
+    threads borrowing cores, which made round-over-round per-query deltas
+    a host-lottery read (VERDICT r4). Skipped inside the pinned child
+    (BENCH_PINNED_PASS), when taskset is missing, or when BENCH_PINNED=0."""
+    if (os.environ.get("BENCH_PINNED_PASS") or os.environ.get("BENCH_PINNED") == "0"
+            or os.environ.get("BENCH_CDC_ONLY")):  # scaling_bench pins its own cores
+        return {}
+    if shutil.which("taskset") is None or os.cpu_count() is None or os.cpu_count() < 16:
+        return {}
+    import subprocess
+
+    env = dict(os.environ, BENCH_PINNED_PASS="1", SPARK_GRAFT_CPUS="16")
+    try:
+        res = subprocess.run(
+            ["taskset", "-c", "0-15", sys.executable,
+             os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1500,
+        )
+        line = res.stdout.strip().splitlines()[-1]
+        p = json.loads(line)
+    except Exception as e:  # the pinned pass is evidence, not a gate
+        return {"pinned_error": str(e)[:200]}
+    return {"pinned": {
+        "cpus": 16, "taskset": "0-15",
+        "queries": p.get("queries", {}),
+        "value": p.get("value"),
+        "cdc_events_per_sec": p.get("cdc_events_per_sec"),
+        "cdc_lookup100_per_key_seconds": p.get("cdc_lookup100_per_key_seconds"),
+    }}
 
 
 if __name__ == "__main__":

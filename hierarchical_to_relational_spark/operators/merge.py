@@ -415,6 +415,75 @@ def compact_pressured(
     return pressured
 
 
+def binpack_deltas(
+    spark: SparkSession,
+    table: SnapshotTable,
+    batch_id: str,
+    target_bytes: int = 64 << 20,
+    min_dirs: int = 3,
+    buckets: list[int] | None = None,
+) -> list[int]:
+    """Size-aware delta BIN-PACKING (round 5): per bucket, merge the
+    smallest delta dirs below ``target_bytes`` into one packed dir —
+    verbatim rows, no resolution shuffle, no base rewrite (see
+    SnapshotTable.commit_binpack). This is the cheap first line of
+    defense against the many-tiny-files problem a steady micro-batch
+    stream creates: a real compaction folds state (resolve + rewrite of
+    the whole bucket), bin-packing only reduces file/dir counts, so it
+    can run far more often — the Iceberg rewrite_data_files bin-pack
+    strategy vs its sort/cluster strategy, as two separate levers.
+
+    Greedy per-bucket selection: smallest-first while the running sum
+    stays under ``target_bytes`` (one packed output per bucket per call);
+    buckets with fewer than ``min_dirs`` small dirs are left alone (the
+    pack must actually reduce fan-in to pay for its write). Returns the
+    buckets packed. Cold buckets — shallow stacks that never meet a
+    compaction pressure threshold but accumulate dribble files forever —
+    are exactly who this sweeps; schedule it wide (``buckets=None``) on a
+    slow cadence beside pressure-driven partial compaction."""
+    snap = table.snapshot()
+    cb = snap.get("commit_bytes", {})
+    want = None if buckets is None else {int(b) for b in buckets}
+    picked: dict[str, list[str]] = {}
+    for b, ds in snap["live"].items():
+        if want is not None and int(b) not in want:
+            continue
+        sized = sorted(
+            (cb.get(d, {}).get(b, 0), d) for d in ds
+            if cb.get(d, {}).get(b) is not None and cb[d][b] < target_bytes
+        )
+        chosen, acc = [], 0
+        for sz, d in sized:
+            if acc + sz > target_bytes and chosen:
+                break
+            chosen.append(d)
+            acc += sz
+        if len(chosen) >= min_dirs:
+            picked[b] = chosen
+    if not picked:
+        return []
+    by_dir: dict[str, list[int]] = {}
+    for b, ds in picked.items():
+        for d in ds:
+            by_dir.setdefault(d, []).append(int(b))
+    parts = []
+    for d, bs in sorted(by_dir.items()):
+        df = spark.read.parquet(os.path.join(table.root, d))
+        parts.append(df.where(F.col(META_BUCKET).isin(bs)))
+    packed = parts[0]
+    for p in parts[1:]:
+        packed = packed.unionByName(p, allowMissingColumns=True)
+    schema = table.schema()
+    missing = [f for f in schema.fields if f.name not in packed.columns]
+    if missing:  # dirs written before an additive evolution: null-fill
+        packed = packed.select(
+            "*", *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing]
+        )
+    if table.commit_binpack(packed, picked, batch_id):
+        return sorted(int(b) for b in picked)
+    return []
+
+
 def evolve_buckets(
     spark: SparkSession,
     table: SnapshotTable,
@@ -501,6 +570,7 @@ def scan_range(
     lo=None,
     hi=None,
     version: int | None = None,
+    key_set_threshold: int = 8192,
 ) -> DataFrame:
     """Resolution-SAFE value-range query over any scalar user column
     (``ts`` windows, ``role`` equality via lo==hi, ``turn_idx`` bands —
@@ -516,15 +586,24 @@ def scan_range(
        overlap the range (plus files without bounds), row-filter exactly,
        and take the distinct key span. Every key whose CURRENT row matches
        is found here (its matching row physically lives in a kept file).
-    2. resolution — read the candidates' key span via ``key_range``
-       pruning (which IS mask-complete: tombstones and patches carry
-       conv_id/_lsn), resolve LWW + tombstones + patch folds, semi-join
-       back to the candidate keys, and re-apply the row filter so keys
-       whose current value moved OUT of the range drop away.
+    2. resolution — read the candidates' keys back mask-completely
+       (tombstones and patches carry conv_id/_lsn), resolve LWW +
+       tombstones + patch folds, and re-apply the row filter so keys
+       whose current value moved OUT of the range drop away. When the
+       candidates are ≤ ``key_set_threshold`` distinct (bucket, key)
+       pairs, the keys themselves are collected and drive ``key_set``
+       bisect file pruning — two far-apart candidate keys read only
+       their OWN files, not everything between them, where the previous
+       single global (min, max) envelope pruned nothing once candidates
+       spanned the keyspace (e.g. a 30-day window touching most
+       conversations). Above the threshold, fall back to the envelope
+       (an unbounded key collect would be a driver-side data read).
 
     At 100 TB on a time-ordered ingest this touches the delta/base files
     of the queried window plus the candidates' key neighborhoods — not
-    the table. One tiny driver collect (2 scalars: candidate key bounds)."""
+    the table. Driver collect is bounded: ≤ threshold (bucket, key)
+    pairs in the key-set regime, 2 scalars + ≤ n_buckets ints in the
+    envelope regime."""
     schema = table.schema(version)
     pred = None
     if lo is not None:
@@ -534,18 +613,41 @@ def scan_range(
         pred = p2 if pred is None else pred & p2
     if pred is None:
         raise ValueError("scan_range needs at least one bound")
+    user_cols = [n for n in schema.fieldNames() if not n.startswith("_")]
+    # equality probe (lo == hi) additionally consults the table's Bloom
+    # sidecar when the column is indexed (SnapshotTable index_cols):
+    # hash-like high-cardinality columns — where every file's [min, max]
+    # spans the probe value and bounds prune nothing — then skip at file
+    # granularity with ~1% false-keeps
+    eq = {col: lo} if (lo is not None and lo == hi) else None
     cand = (
-        table.read(spark, version=version, col_ranges={col: (lo, hi)})
+        table.read(spark, version=version, col_ranges={col: (lo, hi)}, col_eq=eq)
         .where(pred)
         .select(META_BUCKET, "conv_id", "turn_idx")
         .distinct()
     )
+    # bounded probe: ≤ threshold+1 distinct (bucket, key) pairs
+    probe = (cand.select(META_BUCKET, "conv_id").distinct()
+             .limit(key_set_threshold + 1).collect())
+    if not probe:
+        return spark.createDataFrame([], T.StructType([schema[c] for c in user_cols]))
+    if len(probe) <= key_set_threshold:
+        # key-set regime: per-key bisect file pruning; the candidate-turn
+        # semi-join is replaced by an isin filter (equivalent: any turn
+        # whose CURRENT row matches pred is a phase-1 candidate, and
+        # non-matching turns drop at the final .where(pred)) — one fewer
+        # join and one fewer phase-1 recompute.
+        keys = sorted({r["conv_id"] for r in probe})
+        buckets = sorted({r[META_BUCKET] for r in probe})
+        full = table.read(spark, version=version, buckets=buckets, key_set=keys)
+        resolved = resolve(full, schema)
+        live = (resolved.where(F.col(META_OP) != "d")
+                .where(F.col("conv_id").isin(keys)))
+        folded = collapse_patches(live, schema).where(pred)
+        return folded.select(*user_cols)
     span = cand.agg(
         F.min("conv_id"), F.max("conv_id"), F.collect_set(META_BUCKET)
     ).first()  # 2 scalars + ≤ n_buckets ints — bounded driver collect
-    if span[0] is None:
-        user_cols = [n for n in schema.fieldNames() if not n.startswith("_")]
-        return spark.createDataFrame([], T.StructType([schema[c] for c in user_cols]))
     full = table.read(
         spark, version=version, buckets=sorted(span[2]), key_range=(span[0], span[1])
     )
@@ -553,7 +655,6 @@ def scan_range(
     live = resolved.where(F.col(META_OP) != "d")
     hits = live.join(cand, [META_BUCKET, "conv_id", "turn_idx"], "left_semi")
     folded = collapse_patches(hits, schema).where(pred)
-    user_cols = [n for n in schema.fieldNames() if not n.startswith("_")]
     return folded.select(*user_cols)
 
 
@@ -579,13 +680,20 @@ def _diff_live_dirs(
     that predate ``since_version``). A bucket-count change makes bucket
     ids incomparable → everything is superset.
 
-    A ``rollback`` in the window raises ``ValueError``: rolling back can
-    REMOVE rows without leaving tombstones, which no emission can express
-    — the consumer must full-resync (same restriction as Iceberg's
-    incremental reads across non-append history rewrites)."""
+    A ``rollback`` in the window marks its changed buckets superset AND
+    returns the dirs it un-referenced (``removed``): rolled-back rows
+    vanish without tombstones, but they physically live in those dirs —
+    still GC-protected while the pre-rollback snapshot is retained — so
+    the caller scans them and emits SYNTHETIC conversation deletes,
+    followed by the superset re-add of current rows. Only when a
+    retracted dir has already expired does the diff become inexpressible
+    (``ValueError`` from changes_since → full resync), the restriction
+    Iceberg places on ALL incremental reads across history rewrites —
+    this engine narrows it to the expired-journal case."""
     start = table.snapshot(since_version)  # raises if expired — by design
     added: dict[str, list[str]] = {}
     superset: set[str] = set()
+    removed: dict[str, set[str] | None] = {}  # rollback-retracted dirs
     prev = start["live"]
     respec = False  # any rebucket → bucket labels incomparable across window
     for v in range(since_version + 1, version + 1):
@@ -604,11 +712,23 @@ def _diff_live_dirs(
             # undetectable — a legacy-table limitation.
             kind = "rollback"
         if kind == "rollback":
-            raise ValueError(
-                f"changes_since window ({since_version}, {version}] contains a "
-                f"rollback at v{v}: rolled-back rows vanish without tombstones, "
-                "so an incremental diff cannot be emitted — full resync required"
-            )
+            # Round-5: emit THROUGH a rollback. Rolled-back rows vanish
+            # without tombstones, but every such row physically lives in a
+            # dir the rollback un-referenced — and those dirs stay
+            # GC-protected while the PRE-rollback snapshot is retained. So
+            # record (dir, buckets) for each un-referenced dir: the caller
+            # scans them for the affected conversations and emits
+            # SYNTHETIC deletes, and the affected buckets degrade to
+            # superset re-emission ('d' then 'u' re-add of the current
+            # rows — the standard consumer apply order converges).
+            for b in set(prev) | set(cur):
+                a, c = prev.get(b, []), cur.get(b, [])
+                if a != c:
+                    superset.add(b)
+                    for d in set(a) - set(c):
+                        removed.setdefault(d, set()).add(b)
+            prev = cur
+            continue
         if kind in ("compact", "rebucket", "evolve"):
             prev = cur
             continue
@@ -620,8 +740,11 @@ def _diff_live_dirs(
                 superset.add(b)
         prev = cur
     if respec:
-        return {}, set(table.snapshot(version)["live"].keys())
-    return added, superset
+        # bucket labels incomparable across the window: every bucket is
+        # superset, and retracted dirs scan WITHOUT a bucket restriction
+        return ({}, set(table.snapshot(version)["live"].keys()),
+                {d: None for d in removed})
+    return added, superset, removed
 
 
 def changes_since(
@@ -659,10 +782,14 @@ def changes_since(
     exactly the new batches, independent of table size. Buckets rewritten
     by non-append commits (CoW merge, rollback) degrade to whole-bucket
     re-emission — correct, just not minimal — while pure rewrites
-    (compaction, re-bucketing) are skipped entirely. Phase 2 materializes
-    current rows reading only the affected buckets. Raising
+    (compaction, re-bucketing) are skipped entirely. A rollback in the
+    window emits through (synthetic deletes from the retracted dirs +
+    superset re-add; round 5) instead of forcing a resync. Phase 2
+    materializes current rows reading only the affected buckets. Raising
     ``FileNotFoundError`` when ``since_version`` fell out of the retained
-    snapshot window tells the consumer to fall back to a full re-sync."""
+    snapshot window — or ``ValueError`` when a rollback's retracted dirs
+    already expired — tells the consumer to fall back to a full
+    re-sync."""
     v2 = table.current_version() if version is None else version
     schema = table.schema(v2)
     user_cols = [n for n in schema.fieldNames() if not n.startswith("_")]
@@ -673,9 +800,9 @@ def changes_since(
             T.StructField("change_op", T.StringType(), False),
         ]
     )
-    added, superset = _diff_live_dirs(table, since_version, v2)
+    added, superset, removed = _diff_live_dirs(table, since_version, v2)
     added = {b: ds for b, ds in added.items() if b not in superset and ds}
-    if not added and not superset:
+    if not added and not superset and not removed:
         return spark.createDataFrame([], out_schema)
 
     keys = [META_BUCKET, "conv_id", "turn_idx"]
@@ -719,6 +846,34 @@ def changes_since(
                  T.StructField("change_lsn", T.LongType())]
             )
         )
+
+    # rollback-retracted dirs → synthetic conversation deletes: any conv
+    # with a row in a dir the rollback un-referenced may have lost state
+    # with no tombstone to say so; emit 'd' (change_lsn = newest retracted
+    # LSN) and let the superset re-emission re-add whatever survives.
+    if removed:
+        rparts = []
+        for d, bs in sorted(removed.items()):
+            base = os.path.join(table.root, d)
+            if not os.path.isdir(base):
+                raise ValueError(
+                    f"rollback-retracted dir {d} expired before the window "
+                    f"({since_version}, {v2}] was consumed — the synthetic "
+                    "deletes are unrecoverable, full resync required"
+                )
+            rdf = spark.read.parquet(base)
+            if bs is not None and META_BUCKET in rdf.columns:
+                rdf = rdf.where(F.col(META_BUCKET).isin([int(b) for b in bs]))
+            rparts.append(rdf.select(
+                F.col(META_BUCKET).cast("int").alias(META_BUCKET)
+                if META_BUCKET in rdf.columns else F.lit(-1).alias(META_BUCKET),
+                "conv_id", META_LSN))
+        rb = rparts[0]
+        for p2 in rparts[1:]:
+            rb = rb.unionByName(p2)
+        tomb_rollback = (rb.groupBy(META_BUCKET, "conv_id")
+                         .agg(F.max(META_LSN).alias("change_lsn")))
+        tomb_added = tomb_added.unionByName(tomb_rollback)
 
     # phase 2: materialize current rows for affected buckets only
     buckets = sorted(int(b) for b in set(added) | superset)
@@ -772,7 +927,7 @@ def changes_between_timestamps(
     actually types. Pure composition: each timestamp resolves to the
     latest retained snapshot committed at or before it
     (``version_as_of``), then ``changes_since`` diffs the two versions
-    with all its guarantees (net semantics, rollback → ValueError,
+    with all its guarantees (net semantics, rollback emit-through,
     expired window → FileNotFoundError = resync)."""
     v1 = table.version_as_of(since_ts)
     v2 = table.current_version() if until_ts is None else table.version_as_of(until_ts)

@@ -30,6 +30,7 @@ def register_views(
     table: SnapshotTable,
     prefix: str = "transcripts",
     version: int | None = None,
+    scope: str = "session",
 ) -> dict:
     """Register SQL temp views over the table, pinned at ``version``
     (default: current):
@@ -43,19 +44,43 @@ def register_views(
     - ``<prefix>_history``  — the snapshot log (version, batch_id, kind,
                               committed_at, ...)
 
+    ``scope`` widens who can see them:
+
+    - ``"session"`` (default) — this SparkSession only;
+    - ``"global"`` — ``global_temp.<name>`` views, visible to EVERY
+      session of the JVM/cluster (``spark.newSession()``, a Connect or
+      JDBC/Thrift session sharing the context) for the application's
+      lifetime — the catalog-persistence story a second SQL user needs
+      without running any Python. Cross-APPLICATION persistence is a
+      different contract: the table's own on-disk snapshot log IS the
+      durable catalog (any new application re-attaches with
+      ``SnapshotTable(root)`` + one ``register_views`` call — the same
+      re-attach a lakehouse catalog performs at session start).
+
     Returns {"version": pinned version, "views": [names]}. Registration
     is lazy — no data is read until a query selects from a view."""
+    if scope not in ("session", "global"):
+        raise ValueError(f"scope must be 'session' or 'global', got {scope!r}")
     v = table.current_version() if version is None else version
-    read_transcripts(spark, table, version=v).createOrReplaceTempView(prefix)
     schema = table.schema(v)
-    resolve(table.read(spark, version=v), schema).createOrReplaceTempView(f"{prefix}_raw")
-    spark.createDataFrame(table.history()).createOrReplaceTempView(f"{prefix}_history")
-    return {"version": v, "views": [prefix, f"{prefix}_raw", f"{prefix}_history"]}
+    frames = {
+        prefix: read_transcripts(spark, table, version=v),
+        f"{prefix}_raw": resolve(table.read(spark, version=v), schema),
+        f"{prefix}_history": spark.createDataFrame(table.history()),
+    }
+    for name, df in frames.items():
+        if scope == "global":
+            df.createOrReplaceGlobalTempView(name)
+        else:
+            df.createOrReplaceTempView(name)
+    names = [(f"global_temp.{n}" if scope == "global" else n) for n in frames]
+    return {"version": v, "views": names}
 
 
-def refresh(spark: SparkSession, table: SnapshotTable, prefix: str = "transcripts") -> dict:
+def refresh(spark: SparkSession, table: SnapshotTable, prefix: str = "transcripts",
+            scope: str = "session") -> dict:
     """Re-pin the views at the table's current version."""
-    return register_views(spark, table, prefix=prefix)
+    return register_views(spark, table, prefix=prefix, scope=scope)
 
 
 def register_changes_view(

@@ -35,11 +35,15 @@ anything new — the callback channel is at-least-once and the export
 channel exactly-once, simultaneously. A follower with neither channel
 only reports counts.
 
-A rollback in a polled window raises ``ValueError`` from changes_since
-(rolled-back rows vanish without tombstones): the follower surfaces it
-as ``needs_resync`` and stops — the consumer must rebuild from a full
-read and reset the cursor, the same restriction Iceberg places on
-incremental reads across non-append history rewrites.
+A rollback in a polled window emits THROUGH (round 5): changes_since
+scans the dirs the rollback un-referenced (GC-protected while the
+pre-rollback snapshot is retained) and emits synthetic conversation
+deletes plus a superset re-add of the affected buckets' current rows —
+the consumer's usual "apply 'd' then 'u'" converges, no resync. Only
+when those dirs have already expired does changes_since raise
+``ValueError`` and the follower surfaces ``needs_resync`` — a narrowed
+form of the restriction Iceberg places on incremental reads across
+history rewrites.
 """
 
 from __future__ import annotations
@@ -215,7 +219,7 @@ class ChangeFollower:
         try:
             df = changes_since(self.spark, self.table, since, version=v_now)
         except ValueError:
-            # rollback in the window: full resync
+            # a rollback whose retracted dirs already expired: full resync
             return {"from": since, "to": v_now, "upserts": 0, "deletes": 0,
                     "out_path": None, "needs_resync": True}
         except FileNotFoundError:

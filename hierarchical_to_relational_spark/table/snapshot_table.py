@@ -140,6 +140,57 @@ def _query_bound_to_json(v):
     return _bound_to_json(v)
 
 
+def _index_bytes(v) -> bytes:
+    """Canonical byte form of an indexable value (string / int families
+    only — floats and timestamps have no stable text form and belong to
+    range pruning, not equality blooms)."""
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, bool) or not isinstance(v, int):
+        raise TypeError(f"bloom index supports string/int values, got {type(v)}")
+    return str(v).encode("ascii")
+
+
+_BLOOM_K = 7  # ~9.6 bits/value → ~1% fpp at k=7 (standard Bloom sizing)
+
+
+def _bloom_build(values, xxh64) -> dict:
+    """Bloom filter over a distinct-value set → JSON-storable sidecar
+    entry. Double hashing (Kirsch-Mitzenmacher): idx_i = h1 + i·h2 mod m
+    from two XXH64 seeds — the same public xxHash the engine's jobless
+    bucket hashing uses."""
+    import base64
+
+    m = max(64, ((int(len(values) * 9.6) + 7) // 8) * 8)
+    bits = bytearray(m // 8)
+    for v in values:
+        b = _index_bytes(v)
+        h1, h2 = xxh64(b, 42), xxh64(b, 1337) | 1
+        for i in range(_BLOOM_K):
+            j = (h1 + i * h2) % m
+            bits[j >> 3] |= 1 << (j & 7)
+    return {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_maybe(bloom: dict, v, xxh64) -> bool:
+    """False ⇒ the value is DEFINITELY absent from the file (safe to
+    prune); True ⇒ maybe present (keep)."""
+    import base64
+
+    try:
+        b = _index_bytes(v)
+    except TypeError:
+        return True  # unindexable probe value → never prune on it
+    m, k = bloom["m"], bloom["k"]
+    bits = base64.b64decode(bloom["b64"])
+    h1, h2 = xxh64(b, 42), xxh64(b, 1337) | 1
+    for i in range(k):
+        j = (h1 + i * h2) % m
+        if not (bits[j >> 3] >> (j & 7)) & 1:
+            return False
+    return True
+
+
 def _widens(frm: T.DataType, to: T.DataType) -> bool:
     """True iff ``to`` is a STRICT lossless widening of ``frm``."""
     if frm == to:
@@ -263,7 +314,13 @@ class SnapshotTable:
     # ---------- snapshot log ----------
 
     @staticmethod
-    def create(root: str, schema: T.StructType, n_buckets: int = 16) -> "SnapshotTable":
+    def create(root: str, schema: T.StructType, n_buckets: int = 16,
+               index_cols: list[str] | None = None) -> "SnapshotTable":
+        """``index_cols``: non-key string/int columns to cover with a
+        per-file Bloom sidecar at every commit — equality probes on
+        hash-like high-cardinality columns (where min-max bounds span
+        everything) then prune at FILE granularity. Opt-in: building the
+        bloom reads the indexed column back once per commit."""
         t = SnapshotTable(root)
         os.makedirs(t._snap_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
@@ -277,6 +334,7 @@ class SnapshotTable:
                         "committed_at": time.time(),
                         "schema": schema.json(),
                         "n_buckets": n_buckets,
+                        "index_cols": list(index_cols or []),
                         "live": {},
                     }
                 )
@@ -446,6 +504,24 @@ class SnapshotTable:
                 self._ids_scanned_to = v
         return self._ids_cache
 
+    @property
+    def index_cols(self) -> list[str]:
+        return list(self.snapshot().get("index_cols", []))
+
+    def enable_index(self, cols: list[str], batch_id: str) -> bool:
+        """Turn on the Bloom sidecar for ``cols`` from the NEXT commit on
+        (an atomic metadata commit, idempotent on batch_id). Files written
+        before enablement carry no bloom and are simply never pruned by it
+        — superset-safe, no rewrite required; a later compaction rewrites
+        them WITH blooms."""
+        schema = self.schema()
+        for c in cols:
+            f = schema[c]  # KeyError for unknown columns — deliberate
+            if f.dataType.typeName() not in ("string", "byte", "short", "integer", "long"):
+                raise ValueError(f"bloom index needs a string/int column, {c} is {f.dataType}")
+        return self._commit(batch_id, schema, lambda live: live,
+                            index_cols_override=list(cols), kind="evolve")
+
     def bucket_col(self):
         """Bucketing expression factory — callers compute
         ``_bucket = pmod(xxhash64(key), n_buckets)``."""
@@ -464,6 +540,7 @@ class SnapshotTable:
         as_of_ts: float | None = None,
         col_ranges: dict | None = None,
         key_set: list | None = None,
+        col_eq: dict | None = None,
     ) -> DataFrame:
         """Scan the live table state (or a historical version), optionally
         pruned to a bucket subset. Old files are projected up to the current
@@ -532,11 +609,17 @@ class SnapshotTable:
             if b in wanted:
                 for commit_dir in commit_dirs:
                     by_commit.setdefault(commit_dir, []).append(b)
+        # an equality probe also implies a [v, v] bounds check for free
+        eff_ranges = dict(col_ranges or {})
+        for c, v in (col_eq or {}).items():
+            eff_ranges.setdefault(c, (v, v))
+        eff_ranges = eff_ranges or None
         parts: list[DataFrame] = []
         for commit_dir, bks in sorted(by_commit.items()):
             base = os.path.join(self.root, commit_dir)
             paths = self._pruned_paths(
-                commit_dir, set(bks), key_range, lsn_range, col_ranges, key_set
+                commit_dir, set(bks), key_range, lsn_range, eff_ranges, key_set,
+                col_eq,
             )
             if paths is None:
                 paths = [base]  # no sidecar: scan the whole flat commit dir
@@ -597,6 +680,7 @@ class SnapshotTable:
         lsn_range: tuple | None,
         col_ranges: dict | None = None,
         key_set: list | None = None,
+        col_eq: dict | None = None,
     ) -> list[str] | None:
         """File list for a commit dir after sidecar pruning (bucket range ∩
         wanted buckets, then key/lsn min-max, key-set bisect, and any
@@ -651,6 +735,13 @@ class SnapshotTable:
                 cols = st.get("cols", {})
                 if not all(overlaps(cols.get(c), rng) for c, rng in norm_ranges.items()):
                     continue
+            if col_eq:
+                from hierarchical_to_relational_spark.functions.xxh64 import xxh64
+
+                blooms = st.get("bloom", {})
+                if not all(_bloom_maybe(blooms[c], v, xxh64)
+                           for c, v in col_eq.items() if c in blooms):
+                    continue  # bloom says definitely-absent → skip file
             keep.append(os.path.join(self.root, commit_dir, rel))
         return keep
 
@@ -795,9 +886,44 @@ class SnapshotTable:
         # read-side file pruning reads this tiny JSON instead of footers.
         # Lives inside the commit dir ("_"-prefixed → invisible to Spark
         # scans) so snapshot expiration GCs it with the data.
+        index_cols = [c for c in self.snapshot().get("index_cols", [])
+                      if c in schema.fieldNames()]
+        if index_cols:
+            self._build_bloom_sidecar(commit_abs, file_stats, index_cols)
         with open(os.path.join(commit_abs, FILE_STATS_NAME), "w") as f:
             json.dump(file_stats, f)
         return commit_rel, written
+
+    @staticmethod
+    def _build_bloom_sidecar(commit_abs: str, file_stats: dict,
+                             index_cols: list[str]) -> None:
+        """Per-file Bloom filters for the table's ``index_cols``, stored in
+        the same sidecar the min-max bounds live in. One column-pruned
+        pyarrow read per indexed column per file (opt-in at table create /
+        enable_index); ~9.6 bits per distinct value ≈ 1% false-keep — a
+        false keep only costs a wasted file scan, never wrong results
+        (pruning stays superset semantics). This is the Iceberg/parquet
+        bloom idea lifted to the MANIFEST level: the probe consults a tiny
+        JSON instead of opening every candidate file's footer."""
+        import pyarrow.parquet as papq
+
+        from hierarchical_to_relational_spark.functions.xxh64 import xxh64
+
+        for rel, st in file_stats.items():
+            path = os.path.join(commit_abs, rel)
+            pf = papq.ParquetFile(path)
+            present = {pf.metadata.schema.column(i).name
+                       for i in range(pf.metadata.num_columns)}
+            blooms = {}
+            for col in index_cols:
+                if col not in present:
+                    continue
+                vals = set(pf.read(columns=[col]).column(0).to_pylist())
+                vals.discard(None)
+                if vals:
+                    blooms[col] = _bloom_build(vals, xxh64)
+            if blooms:
+                st["bloom"] = blooms
 
     @staticmethod
     def _observed_stats(m: dict, nb: int, commit_abs: str) -> tuple[dict, dict]:
@@ -990,6 +1116,7 @@ class SnapshotTable:
         retries: int = 20,
         n_buckets_override: int | None = None,
         kind: str = "append",
+        index_cols_override: list[str] | None = None,
     ) -> bool:
         """Optimistic-concurrency commit (Iceberg-style): build the new
         ``live`` mapping from the CURRENT snapshot via ``update_live(live)``,
@@ -1027,6 +1154,8 @@ class SnapshotTable:
                 "committed_at": time.time(),
                 "schema": schema.json(),
                 "n_buckets": n_buckets_override if n_buckets_override is not None else cur["n_buckets"],
+                "index_cols": (index_cols_override if index_cols_override is not None
+                               else cur.get("index_cols", [])),
                 "live": new_live,
                 "commit_bytes": commit_bytes,
             }
@@ -1198,6 +1327,47 @@ class SnapshotTable:
             commit_meta=(commit_rel, written), n_buckets_override=new_n_buckets,
             kind="rebucket",
         )
+
+    def commit_binpack(self, df: DataFrame, replace: dict[str, list[str]],
+                       batch_id: str) -> bool:
+        """BIN-PACK commit (round 5): replace, per bucket, a set of small
+        delta dirs with ONE packed dir holding exactly their rows —
+        verbatim, NO resolution. LWW resolution is order-insensitive, so
+        concatenating delta files never changes the resolved state; what
+        it buys is fewer dirs/files per bucket (read fan-in, manifest
+        size, open() count on an object store) at a fraction of a real
+        compaction's cost — no resolve shuffle, no base rewrite, and
+        tombstones/patches pass through untouched so their retention
+        semantics are unaffected. ``replace`` maps bucket → the dirs whose
+        rows for that bucket ``df`` carries. Conflict rule: every replaced
+        dir must still be live for its bucket at commit time (a concurrent
+        compaction that folded one away wins — ConcurrentOverwriteError,
+        caller re-selects). kind='compact': a pure rewrite, skipped by
+        incremental readers."""
+        if batch_id in self.committed_batch_ids():
+            return False
+        schema = self.schema()
+        commit_rel, written = self._write_commit_data(df, schema, repartition=True)
+
+        def update(live: dict) -> dict:
+            for b, olds in replace.items():
+                cur = live.get(b, [])
+                if not set(olds) <= set(cur):
+                    raise ConcurrentOverwriteError(
+                        f"bucket {b}: a packed delta was rewritten since "
+                        "selection; re-select and retry")
+                pos = min(cur.index(d) for d in olds)
+                new = [d for d in cur if d not in olds]
+                if b in written:
+                    new.insert(pos, commit_rel)
+                if new:
+                    live[b] = new
+                else:
+                    live.pop(b, None)
+            return live
+
+        return self._commit(batch_id, schema, update,
+                            commit_meta=(commit_rel, written), kind="compact")
 
     def delta_depth(self) -> int:
         """Max commit dirs stacked on any bucket (compaction trigger)."""

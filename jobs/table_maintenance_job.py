@@ -5,6 +5,8 @@ surface for every table-lifecycle operation the engine supports.
         --table /data/transcripts <action> [options]
 
 Actions:
+  binpack    merge small delta dirs verbatim (no resolve, no base
+             rewrite) — the cheap file-count lever for cold buckets
   compact    fold merge-on-read deltas copy-on-write (optionally expiring
              tombstones below an LSN watermark; --zorder for multi-column
              clustering)
@@ -50,6 +52,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--zorder", default=None, metavar="COL[,COL...]",
                    help="cluster the rewrite by a Morton interleave of these "
                         "columns (e.g. conv_id,_lsn) instead of conv_id alone")
+
+    bp = sub.add_parser("binpack")
+    bp.add_argument("--batch-id", default=None)
+    bp.add_argument("--target-bytes", type=int, default=64 << 20,
+                    help="pack a bucket's smallest delta dirs while their "
+                         "sum stays under this (one packed dir per bucket)")
+    bp.add_argument("--min-dirs", type=int, default=3,
+                    help="only pack buckets with at least this many small "
+                         "dirs (the pack must reduce fan-in to pay for "
+                         "itself)")
 
     e = sub.add_parser("expire")
     e.add_argument("--retain-last", type=int, default=100)
@@ -200,6 +212,17 @@ def main(argv: list[str] | None = None) -> int:
                 df.write.mode("overwrite").parquet(args.out)
                 df = spark.read.parquet(args.out)
             out = {**meta, "rows": df.count(), "out": args.out}
+            print(json.dumps(out, default=str))
+            return 0
+        if args.action == "binpack":
+            from hierarchical_to_relational_spark.operators.merge import binpack_deltas
+
+            bid = args.batch_id or f"maintenance-binpack-v{table.current_version()}"
+            packed = binpack_deltas(spark, table, batch_id=bid,
+                                    target_bytes=args.target_bytes,
+                                    min_dirs=args.min_dirs)
+            out = {"packed_buckets": packed, "batch_id": bid,
+                   "table_version": table.current_version()}
             print(json.dumps(out, default=str))
             return 0
         if args.action == "compact":

@@ -658,12 +658,15 @@ def test_changes_since_pure_rewrites_emit_nothing(spark, tmp_path):
     assert changes_since(spark, pipe.table, v1).count() == 0
 
 
-def test_changes_since_rollback_requires_resync(spark, tmp_path):
-    """A rollback in the window raises: rolled-back rows vanish without
-    tombstones, so no incremental emission can express the diff — the
-    consumer must full-resync (Iceberg incremental-read restriction).
-    A CoW overwrite in the window, by contrast, degrades to whole-bucket
-    re-emission and stays correct."""
+def test_changes_since_emits_through_rollback(spark, tmp_path):
+    """Round-5: a rollback in the window EMITS an applicable diff —
+    synthetic conversation deletes scanned from the dirs the rollback
+    un-referenced (rolled-back rows vanish without tombstones, but their
+    physical rows are still on disk, GC-protected by the pre-rollback
+    snapshot) plus a superset re-add of the affected buckets' current
+    rows. Applying the diff to the post-bad-batch checkpoint reproduces
+    the post-rollback state exactly, including un-inserting cC and
+    reverting cA."""
     from hierarchical_to_relational_spark.operators.merge import changes_since
 
     pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
@@ -677,10 +680,27 @@ def test_changes_since_rollback_requires_resync(spark, tmp_path):
         (3, "insert", "cC", [(0, "user", "bad-row", None)]),
     ]), "b1")
     v_ckpt = pipe.table.current_version()
+    state_ckpt = _final_state(spark, pipe.table)
     # consumer checkpointed AFTER the bad batch; operator rolls it back
     pipe.table.rollback(v_good, batch_id="rb0")
+    changes = changes_since(spark, pipe.table, v_ckpt).collect()
+    assert any(r["change_op"] == "d" and r["conv_id"] == "cC" for r in changes), \
+        "the un-inserted conv must get a synthetic delete"
+    got = _apply_diff(state_ckpt, changes)
+    want = _final_state(spark, pipe.table)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the retracted dirs expiring BEFORE consumption is the one remaining
+    # resync case
+    import shutil as _sh
+
+    snap_mid = pipe.table.snapshot(v_ckpt)["live"]
+    snap_now = pipe.table.snapshot()["live"]
+    gone = ({d for ds in snap_mid.values() for d in ds}
+            - {d for ds in snap_now.values() for d in ds})
+    for d in gone:
+        _sh.rmtree(str(tmp_path / "t" / d), ignore_errors=True)
     with pytest.raises(ValueError, match="resync"):
-        changes_since(spark, pipe.table, v_ckpt)
+        changes_since(spark, pipe.table, v_ckpt).collect()
 
 
 def test_changes_since_cow_overwrite_supersets(spark, tmp_path):
@@ -736,8 +756,10 @@ def test_random_patch_stream_matches_oracle(spark, tmp_path):
 
 def test_changes_since_legacy_rollback_sniffed(spark, tmp_path):
     """Pre-kind snapshots (older table format) whose batch id matches the
-    maintenance CLI's derived rollback ids are sniffed and raise — a
-    superset emission would silently keep rolled-back rows alive."""
+    maintenance CLI's derived rollback ids are sniffed as rollbacks — a
+    plain superset emission would silently keep rolled-back rows alive;
+    the sniffed rollback takes the synthetic-delete path instead and the
+    applied diff un-inserts cB downstream."""
     import json
     from hierarchical_to_relational_spark.operators.merge import changes_since
 
@@ -746,6 +768,8 @@ def test_changes_since_legacy_rollback_sniffed(spark, tmp_path):
     pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "a", None)])]), "b0")
     v1 = pipe.table.current_version()
     pipe.apply_batch(_env_rows(spark, [(2, "insert", "cB", [(0, "user", "b", None)])]), "b1")
+    v_ckpt = pipe.table.current_version()
+    state_ckpt = _final_state(spark, pipe.table)
     pipe.table.rollback(v1, batch_id=f"maintenance-rollback-{v1}-v{v1+1}")
     # strip the kind field to simulate a snapshot from the pre-kind engine
     path = pipe.table._snapshot_path(pipe.table.current_version())
@@ -754,8 +778,11 @@ def test_changes_since_legacy_rollback_sniffed(spark, tmp_path):
     del snap["kind"]
     with open(path, "w") as fh:
         json.dump(snap, fh)
-    with pytest.raises(ValueError, match="resync"):
-        changes_since(spark, pipe.table, v1)
+    changes = changes_since(spark, pipe.table, v_ckpt).collect()
+    assert any(r["change_op"] == "d" and r["conv_id"] == "cB" for r in changes)
+    got = _apply_diff(state_ckpt, changes)
+    want = _final_state(spark, pipe.table)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_csv_binlog_embedded_newlines(spark, tmp_path):

@@ -87,9 +87,59 @@ def test_follower_crash_resume_and_export(spark, tmp_path):
     assert counts == {"u": 2, "d": 1}
 
 
-def test_follower_surfaces_rollback_as_resync(spark, tmp_path):
-    """A rollback inside a polled window stops the follower with
-    needs_resync; after the consumer rebuilds, reset_cursor re-arms it."""
+def test_follower_emits_through_rollback(spark, tmp_path):
+    """Round-5: a rollback inside a polled window no longer forces a
+    resync — changes_since scans the retracted dirs for SYNTHETIC
+    conversation deletes and re-adds the affected buckets' current rows,
+    so a consumer applying 'd' then 'u' converges to the post-rollback
+    state (the previously-inserted conv vanishes downstream too)."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    cursor = str(tmp_path / "cursor.json")
+    out = str(tmp_path / "egress")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "keep", None)])]), "b0")
+    f = ChangeFollower(spark, pipe.table, cursor, out_dir=out)
+    first = f.poll_once()
+    state = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in read_transcripts(spark, pipe.table, version=first["to"]).collect()}
+    v_good = pipe.table.current_version()
+
+    # consumer SEES the bad commit, then the table rolls it back
+    pipe.apply_batch(_env_rows(spark, [
+        (2, "insert", "cX", [(0, "user", "bad", None)]),
+        (3, "update", "cA", [(1, "user", "bad-turn", None)]),
+    ]), "b1")
+    p1 = f.poll_once()
+    assert p1["upserts"] == 2
+    state = _apply_poll(state, spark, p1["out_path"])
+    assert ("cX", 0) in state and ("cA", 1) in state
+
+    pipe.table.rollback(v_good, batch_id="rb")
+    p2 = f.poll_once()
+    assert p2["needs_resync"] is False
+    assert p2["deletes"] >= 1, "synthetic deletes for the rolled-back convs"
+    state = _apply_poll(state, spark, p2["out_path"])
+    want = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in read_transcripts(spark, pipe.table).collect()}
+    assert state == want, "consumer converged to the post-rollback state"
+    assert ("cX", 0) not in state and ("cA", 1) not in state
+
+    # and the follower keeps following normally afterwards
+    pipe.apply_batch(_env_rows(spark, [(4, "insert", "cB", [(0, "user", "post", None)])]), "b2")
+    p3 = f.poll_once()
+    assert p3["needs_resync"] is False and p3["upserts"] == 1
+    state = _apply_poll(state, spark, p3["out_path"])
+    assert state == {(r["conv_id"], r["turn_idx"]): r["text"]
+                     for r in read_transcripts(spark, pipe.table).collect()}
+
+
+def test_rollback_with_expired_retraction_dirs_needs_resync(spark, tmp_path):
+    """The narrowed resync case: if the dirs a rollback un-referenced are
+    deleted before the window is consumed, the synthetic deletes are
+    unrecoverable and the follower surfaces needs_resync; reset_cursor
+    re-arms it after the consumer rebuilds."""
+    import shutil as _sh
+
     pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
                        str(tmp_path / "ck"), n_buckets=2, text_mode="none")
     cursor = str(tmp_path / "cursor.json")
@@ -97,12 +147,14 @@ def test_follower_surfaces_rollback_as_resync(spark, tmp_path):
     f = ChangeFollower(spark, pipe.table, cursor)
     f.poll_once()
     v_good = pipe.table.current_version()
+    live_before = {d for ds in pipe.table.snapshot()["live"].values() for d in ds}
     pipe.apply_batch(_env_rows(spark, [(2, "insert", "cX", [(0, "user", "bad", None)])]), "b1")
+    live_mid = {d for ds in pipe.table.snapshot()["live"].values() for d in ds}
     pipe.table.rollback(v_good, batch_id="rb")
+    for d in live_mid - live_before:  # simulate early GC of retracted dirs
+        _sh.rmtree(str(tmp_path / "t" / d), ignore_errors=True)
     polls = f.run(poll_interval_s=0.01, max_polls=3)
     assert polls[0]["needs_resync"] is True and len(polls) == 1
-
-    # consumer resyncs from a full read, pins the cursor, and follows again
     v_now = pipe.table.current_version()
     f.reset_cursor(v_now)
     pipe.apply_batch(_env_rows(spark, [(3, "insert", "cB", [(0, "user", "post", None)])]), "b2")

@@ -163,3 +163,35 @@ def test_consistent_cut(spark, tmp_path):
     old = consistent_reads(spark, tables, versions=cut1)
     assert {r["conv_id"] for r in old["dim"].collect()} == {"dim-k1"}
     assert {r["conv_id"] for r in old["fact"].collect()} == {"fact-k1"}
+
+
+def test_global_views_visible_to_fresh_session(spark, tmp_path):
+    """Round-5 SQL catalog persistence: scope='global' registers
+    global_temp views that a SECOND SparkSession of the same application
+    (spark.newSession() — the same isolation a Connect/JDBC session gets)
+    can query with pure SQL, no Python; session-scoped views stay
+    invisible to it."""
+    from hierarchical_to_relational_spark import sql as h2r_sql
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "hello", None)]),
+        (2, "insert", "cB", [(0, "user", "world", None)]),
+    ]), "b0")
+
+    out = h2r_sql.register_views(spark, pipe.table, prefix="gt_tr", scope="global")
+    assert out["views"][0] == "global_temp.gt_tr"
+    h2r_sql.register_views(spark, pipe.table, prefix="sess_tr")  # session-only
+
+    s2 = spark.newSession()
+    rows = s2.sql(
+        "SELECT conv_id, text FROM global_temp.gt_tr ORDER BY conv_id").collect()
+    assert [(r[0], r[1]) for r in rows] == [("cA", "hello"), ("cB", "world")]
+    assert s2.sql("SELECT count(*) FROM global_temp.gt_tr_history").first()[0] >= 1
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        s2.sql("SELECT * FROM sess_tr").collect()
+    with pytest.raises(ValueError, match="scope"):
+        h2r_sql.register_views(spark, pipe.table, scope="cluster")

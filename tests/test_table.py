@@ -1002,3 +1002,200 @@ def test_observe_accounting_matches_pyarrow_and_skips_data_read(spark, tmp_path,
     assert mo["max_lsn"] == 501
     assert mo["bucket_rows"] == mp["bucket_rows"]
     assert mo["bucket_max_lsn"] == mp["bucket_max_lsn"]
+
+
+def test_scan_range_key_set_phase2_prunes_far_apart_candidates(spark, tmp_path, monkeypatch):
+    """Round-5 scan_range phase 2: when the candidate set is small, the
+    DISTINCT candidate keys drive key_set bisect file pruning — two
+    far-apart keys read only their OWN files on a range-clustered base,
+    where the old global (min, max) envelope kept every file between
+    them."""
+    import datetime
+
+    from hierarchical_to_relational_spark.operators.merge import compact, scan_range
+    from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+
+    day = lambda d: datetime.datetime(2026, 1, 1) + datetime.timedelta(days=d)
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=4, text_mode="none",
+                       compact_every=999)
+    # 40 conversations; ONLY the keyspace extremes c00/c39 carry day-50
+    rows = [(i + 1, "insert", f"c{i:02d}",
+             [(0, "user", f"t{i}", 50 if i in (0, 39) else i % 10)])
+            for i in range(40)]
+    for lo_i in range(0, 40, 10):
+        pipe.apply_batch(_ts_envs(spark, rows[lo_i:lo_i + 10]), f"b{lo_i}")
+    t = pipe.table
+    # range-cluster the base into many tight-key-span files
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        assert compact(spark, t, batch_id="z0", zorder=["conv_id", "ts"])
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.unset("spark.sql.shuffle.partitions")
+
+    reads = []
+    orig = SnapshotTable.read
+
+    def spy(self, spark_, **kw):
+        reads.append(kw)
+        return orig(self, spark_, **kw)
+
+    monkeypatch.setattr(SnapshotTable, "read", spy)
+    out = scan_range(spark, t, "ts", day(49), day(51))
+    got = {(r["conv_id"], r["text"]) for r in out.collect()}
+    assert got == {("c00", "t0"), ("c39", "t39")}
+    # phase 2 ran in the key-set regime with exactly the candidate keys
+    assert reads[-1].get("key_set") == ["c00", "c39"]
+    assert reads[-1].get("key_range") is None
+    monkeypatch.undo()
+    # and it scanned strictly fewer files than the envelope would
+    key_files = set(out.inputFiles())
+    env_files = set(t.read(spark, buckets=reads[-1]["buckets"],
+                           key_range=("c00", "c39")).inputFiles())
+    assert key_files and key_files < env_files, (
+        f"key_set kept {len(key_files)} files, envelope {len(env_files)}")
+    # oversized candidate sets fall back to the envelope regime
+    reads.clear()
+    monkeypatch.setattr(SnapshotTable, "read", spy)
+    all_rows = scan_range(spark, t, "role", "user", "user", key_set_threshold=5)
+    assert all_rows.count() == 40
+    assert reads[-1].get("key_set") is None and reads[-1].get("key_range") is not None
+
+
+def test_bloom_index_equality_probe_prunes_files(spark, tmp_path):
+    """Round-5 secondary index: a table created with index_cols writes a
+    per-file Bloom over the indexed column into the manifest sidecar, and
+    an equality probe on a hash-like HIGH-CARDINALITY column (where every
+    file's [min, max] bounds span the probe — bounds prune nothing) skips
+    files the bloom proves absent. scan_range(v, v) rides the same pruning
+    and stays resolution-safe; enable_index mid-stream indexes only new
+    commits (old files never pruned — superset-safe)."""
+    import hashlib
+
+    from hierarchical_to_relational_spark.operators.merge import (
+        scan_range,
+        table_schema_for,
+    )
+    from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+    from tests.test_cdc import _env_rows
+
+    turn_cols = [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+    SnapshotTable.create(str(tmp_path / "t"), table_schema_for(turn_cols), 4,
+                         index_cols=["text"])
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=4, text_mode="none")
+    texts, lsn = {}, 0
+    for b in range(4):
+        rows = []
+        for i in range(12):
+            lsn += 1
+            tx = hashlib.md5(f"{b}-{i}".encode()).hexdigest()
+            texts[(b, i)] = tx
+            rows.append((lsn, "insert", f"c{b:02d}{i:02d}", [(0, "user", tx, None)]))
+        pipe.apply_batch(_env_rows(spark, rows), f"b{b}")
+    t = pipe.table
+    assert t.index_cols == ["text"]
+
+    probe = texts[(2, 5)]
+    full = set(t.read(spark).inputFiles())
+    kept = set(t.read(spark, col_eq={"text": probe}).inputFiles())
+    bounds_only = set(t.read(spark, col_ranges={"text": (probe, probe)}).inputFiles())
+    assert kept and kept < full, f"bloom kept {len(kept)}/{len(full)}"
+    assert len(kept) < len(bounds_only), (
+        "the bloom must prune beyond what min-max bounds can on a "
+        f"hash-like column: {len(kept)} vs {len(bounds_only)}")
+    out = scan_range(spark, t, "text", lo=probe, hi=probe)
+    assert [(r["conv_id"], r["text"]) for r in out.collect()] == [("c0205", probe)]
+
+    # enable_index on a previously UNindexed table: old files stay
+    # unpruned (no bloom -> keep), new commits get blooms, results exact
+    pipe2 = CdcPipeline(spark, str(tmp_path / "bl2"), str(tmp_path / "t2"),
+                        str(tmp_path / "ck2"), n_buckets=4, text_mode="none")
+    pipe2.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "old-text", None)])]), "b0")
+    assert pipe2.table.enable_index(["text"], "idx-on") is True
+    assert pipe2.table.enable_index(["text"], "idx-on") is False  # idempotent
+    pipe2.apply_batch(_env_rows(spark, [
+        (2, "insert", "cB", [(0, "user", "new-text", None)])]), "b1")
+    got = {r["conv_id"] for r in
+           scan_range(spark, pipe2.table, "text", "old-text", "old-text").collect()}
+    assert got == {"cA"}
+    with pytest.raises(ValueError, match="string/int"):
+        pipe2.table.enable_index(["ts"], "idx-bad")
+
+
+def test_bloom_build_and_membership_unit():
+    """Pure-Python bloom: no false negatives ever; false-keep rate near
+    the designed ~1% at 9.6 bits/value."""
+    from hierarchical_to_relational_spark.functions.xxh64 import xxh64
+    from hierarchical_to_relational_spark.table.snapshot_table import (
+        _bloom_build,
+        _bloom_maybe,
+    )
+
+    vals = {f"v{i:05d}" for i in range(2000)}
+    bl = _bloom_build(vals, xxh64)
+    assert all(_bloom_maybe(bl, v, xxh64) for v in vals), "no false negatives"
+    fp = sum(_bloom_maybe(bl, f"absent{i}", xxh64) for i in range(5000)) / 5000
+    assert fp < 0.05, f"false-keep rate {fp}"
+    # ints index too; unindexable probe values are never pruned on
+    bli = _bloom_build({1, 2, 3}, xxh64)
+    assert _bloom_maybe(bli, 2, xxh64) and not _bloom_maybe(bli, 99, xxh64)
+    assert _bloom_maybe(bli, 1.5, xxh64) is True
+
+
+def test_binpack_deltas_preserves_state_and_reduces_dirs(spark, tmp_path):
+    """Round-5 bin-packing: small delta dirs merge VERBATIM (no resolve,
+    no base rewrite) into one packed dir per bucket — resolved state is
+    bit-identical, delta depth drops, tombstones/patches survive, the
+    commit is idempotent, and incremental readers see NO spurious
+    emissions (kind='compact' → skipped by changes_since)."""
+    from hierarchical_to_relational_spark.operators.merge import (
+        binpack_deltas,
+        changes_since,
+        read_transcripts,
+    )
+    from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+    from tests.test_cdc import _env_rows
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none",
+                       compact_every=999)
+    lsn = 0
+    for b in range(5):
+        rows = []
+        for i in range(4):
+            lsn += 1
+            rows.append((lsn, "insert" if (b + i) % 3 else "update",
+                         f"c{i}", [(b, "user", f"t{b}-{i}", None)]))
+        lsn += 1
+        rows.append((lsn, "delete", "c9", None))  # tombstones pass through
+        pipe.apply_batch(_env_rows(spark, rows), f"b{b}")
+    t = pipe.table
+    before = sorted(map(tuple, read_transcripts(spark, t)
+                        .select("conv_id", "turn_idx", "text").collect()))
+    depth_before = t.delta_depth()
+    v_before = t.current_version()
+
+    packed = binpack_deltas(spark, t, "bp0", target_bytes=10 << 20, min_dirs=2)
+    assert packed, "small dirs must get packed"
+    assert t.delta_depth() < depth_before
+    after = sorted(map(tuple, read_transcripts(spark, t)
+                       .select("conv_id", "turn_idx", "text").collect()))
+    assert after == before, "bin-packing must not change resolved state"
+    # tombstones preserved verbatim: a late upsert below the del LSN stays dead
+    assert binpack_deltas(spark, t, "bp0") == [], "idempotent on batch id"
+    assert changes_since(spark, t, v_before).count() == 0, (
+        "a pure rewrite must not re-emit anything downstream")
+    # min_dirs guard: nothing left to pack at the same threshold
+    assert binpack_deltas(spark, t, "bp1", target_bytes=10 << 20,
+                          min_dirs=5) == []

@@ -10,6 +10,10 @@ Replays the identical cached bench binlog in N micro-batches three times:
   the zipf-hot buckets. (A depth trigger cannot discriminate on this
   stream: every batch touches every bucket, so depth pressure is
   uniform — BYTES pressure is what the skew concentrates.)
+- binpack: merge small delta dirs VERBATIM on the same cadence (round-5
+  operators.merge.binpack_deltas) — no resolve, no base rewrite: the
+  cheap file-count lever, expected to rewrite far fewer bytes than even
+  partial while keeping delta depth bounded;
 - full:    compact() of EVERY live bucket on the same cadence;
 - none:    pure merge-on-read appends (the read-latency price of never
            folding).
@@ -42,6 +46,7 @@ sys.path.insert(0, REPO)
 
 import bench as B  # reuse the cached deterministic binlog
 from hierarchical_to_relational_spark.operators.merge import (
+    binpack_deltas,
     compact,
     compact_pressured,
 )
@@ -76,6 +81,13 @@ def run_policy(spark, segs, binlog, policy: str, work: str, n_batches: int, dept
             if folded:
                 rewrites["commits"] += 1
                 rewrites["buckets"] += len(folded)
+                rewrites["bytes"] += _new_dir_bytes(before)
+        elif policy == "binpack":
+            packed = binpack_deltas(spark, pipe.table, f"{policy}-{i}::c",
+                                    target_bytes=64 << 20, min_dirs=3)
+            if packed:
+                rewrites["commits"] += 1
+                rewrites["buckets"] += len(packed)
                 rewrites["bytes"] += _new_dir_bytes(before)
         elif policy == "full":
             live = len(pipe.table.snapshot()["live"])
@@ -113,12 +125,13 @@ def main() -> None:
         out = {
             "cdc_events": physical, "batches": n_batches, "depth_threshold": depth,
             "policies": [run_policy(spark, segs, binlog, p, work, n_batches, depth)
-                         for p in ("partial", "full", "none")],
+                         for p in ("partial", "binpack", "full", "none")],
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
     rows = {p["policy"]: p for p in out["policies"]}
-    assert rows["partial"]["final_rows"] == rows["full"]["final_rows"] == rows["none"]["final_rows"]
+    assert (rows["partial"]["final_rows"] == rows["full"]["final_rows"]
+            == rows["none"]["final_rows"] == rows["binpack"]["final_rows"])
     print(json.dumps(out))
 
 

@@ -14,7 +14,9 @@ pinned-CPU control runs alongside each level and the report includes both
 raw and host-normalized efficiency.
 
 Usage: python tools/scaling_bench.py [events] [batches] [reps]
-Writes BENCH/BASELINE.md and prints a JSON summary.
+Appends the campaign to BENCH/campaigns.jsonl, writes a per-campaign
+markdown snapshot (BENCH/campaign-<stamp>.md), and prints a JSON summary.
+BENCH/BASELINE.md is hand-curated from the accumulated campaigns.
 """
 
 from __future__ import annotations
@@ -172,8 +174,14 @@ metrics (no extra jobs), no driver-side data loops, no per-row Python.
 Generated by tools/scaling_bench.py on {time.strftime('%Y-%m-%d %H:%M:%S')}.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    with open(os.path.join(REPO, "BENCH", f"campaign-{stamp}.md"), "w") as f:
         f.write(md)
+    with open(os.path.join(REPO, "BENCH", "campaigns.jsonl"), "a") as f:
+        f.write(json.dumps({"stamp": stamp, "events": events, "batches": batches,
+                            "reps": reps, **summary,
+                            "all_reps": {str(c): [x["cdc_events_per_sec"] for x in obs[c]] for c, _ in LEVELS},
+                            "controls": {str(c): ctrl[c] for c, _ in LEVELS}}) + "\n")
 
 
 if __name__ == "__main__":
