@@ -28,8 +28,24 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# (cores for local[N], taskset cpu list or None)
-LEVELS: list[tuple[int, str | None]] = [(2, "0-1"), (8, "0-7"), (32, None)]
+# (cores for local[N], taskset cpu list or None). Override with
+# SCALE_LEVELS="1:0,4:0-3,32:" — the north rule fixes only the RATIO
+# (N -> 4N); this host's steal saturates at ~8-16 effective cores, so
+# small-N windows (1->4) are where the host can actually deliver 4x and
+# the measurement isn't capped by the machine (the md5 control beside
+# every rep proves which regime a window was in).
+def _levels() -> list[tuple[int, str | None]]:
+    env = os.environ.get("SCALE_LEVELS")
+    if not env:
+        return [(2, "0-1"), (8, "0-7"), (32, None)]
+    out = []
+    for part in env.split(","):
+        cpus, _, cpuset = part.partition(":")
+        out.append((int(cpus), cpuset or None))
+    return out
+
+
+LEVELS: list[tuple[int, str | None]] = _levels()
 
 CONTROL_SNIPPET = r"""
 import time, hashlib
@@ -90,25 +106,31 @@ def main() -> None:
 
     best = {c: max(rs, key=lambda x: x["cdc_events_per_sec"]) for c, rs in obs.items()}
     best_ctrl = {c: min(v) for c, v in ctrl.items()}
-    n_events = best[8]["cdc_events"]
+    lo, hi = LEVELS[0][0], LEVELS[1][0]
+    n_events = best[hi]["cdc_events"]
     tput = {c: best[c]["cdc_events_per_sec"] for c, _ in LEVELS}
-    eff_2_8 = (tput[8] / tput[2]) / 4
-    host_cap_2_8 = best_ctrl[2] / best_ctrl[8]  # host-delivered speedup on pure CPU
-    norm_2_8 = (tput[8] / tput[2]) / host_cap_2_8 if host_cap_2_8 > 0 else None
-    eff_8_32 = (tput[32] / tput[8]) / 4
+    ratio = hi / lo
+    eff_2_8 = (tput[hi] / tput[lo]) / ratio
+    host_cap_2_8 = best_ctrl[lo] / best_ctrl[hi]  # host-delivered speedup on pure CPU
+    norm_2_8 = (tput[hi] / tput[lo]) / host_cap_2_8 if host_cap_2_8 > 0 else None
+    top = LEVELS[2][0] if len(LEVELS) > 2 else hi
+    eff_8_32 = (tput[top] / tput[hi]) / (top / hi) if top != hi else None
     summary = {
         "cdc_events": n_events,
+        "levels": [c for c, _ in LEVELS],
         "best_events_per_sec": tput,
-        "efficiency_2_to_8": round(eff_2_8, 3),
-        "host_cpu_speedup_2_to_8": round(host_cap_2_8, 2),
-        "host_normalized_efficiency_2_to_8": round(norm_2_8, 3) if norm_2_8 else None,
-        "efficiency_8_to_32": round(eff_8_32, 3),
+        f"efficiency_{lo}_to_{hi}": round(eff_2_8, 3),
+        f"host_cpu_speedup_{lo}_to_{hi}": round(host_cap_2_8, 2),
+        f"host_normalized_efficiency_{lo}_to_{hi}": round(norm_2_8, 3) if norm_2_8 else None,
+        f"efficiency_{hi}_to_{top}": round(eff_8_32, 3) if eff_8_32 else None,
     }
     print(json.dumps(summary))
 
     def row(c):
         reps_s = ", ".join(str(x["cdc_events_per_sec"]) for x in obs[c])
         return (f"| {c} | {tput[c]} | {best[c]['cdc_seconds']} | {best_ctrl[c]:.2f} | {reps_s} |")
+
+    lvl_rows = "\n".join(row(c) for c, _ in LEVELS)
 
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
 
@@ -130,17 +152,15 @@ delivered.
 
 | pinned CPUs | best events/sec | seconds | control best (s) | all reps (ev/s) |
 |---|---|---|---|---|
-{row(2)}
-{row(8)}
-{row(32)}
+{lvl_rows}
 
-**N → 4N (pinned 2 → pinned 8 cores):**
-- raw efficiency (T8/T2)/4: **{summary['efficiency_2_to_8']}**
-- host-delivered pure-CPU speedup for the same pinned sets: {summary['host_cpu_speedup_2_to_8']}×
-- efficiency normalized to host-delivered capacity: **{summary['host_normalized_efficiency_2_to_8']}**
+**N → 4N (pinned {lo} → pinned {hi} cores):**
+- raw efficiency: **{summary[f'efficiency_{lo}_to_{hi}']}**
+- host-delivered pure-CPU speedup for the same pinned sets: {summary[f'host_cpu_speedup_{lo}_to_{hi}']}×
+- efficiency normalized to host-delivered capacity: **{summary[f'host_normalized_efficiency_{lo}_to_{hi}']}**
   (north-rule target ≥ 0.8)
 
-**8 → 32 (unpinned):** {summary['efficiency_8_to_32']} — bounded by the HOST,
+**{hi} → {top}:** {summary[f'efficiency_{hi}_to_{top}']} — bounded by the HOST,
 not the engine: the control shows the machine cannot deliver 4× the compute
 of 8 pinned cores at any point, so no job can demonstrate 8→32 scaling here.
 
