@@ -418,6 +418,28 @@ def _cdc_table(spark: SparkSession, sf_dir: str, n_batches: int = 3,
     return table
 
 
+def q_cdc_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined maintenance cycle is STATE-PRESERVING: replay the
+    3-batch out-of-order stream, then run maintain_cycle (pressure-driven
+    partial compaction at depth 2 → table-wide delta bin-packing →
+    snapshot expiration down to 2 retained) and read the final state —
+    which must still hash-match the independent DuckDB LWW oracle (the
+    same oracle as cdc_replay: maintenance may rewrite files, never
+    rows)."""
+    from hierarchical_to_relational_spark.operators.merge import maintain_cycle
+
+    table = _cdc_table(spark, sf_dir)
+    rep = maintain_cycle(
+        spark, table, batch_id="gate-maintain",
+        compact_depth=2, binpack_min_dirs=2,
+        expire_retain=2, orphan_grace_seconds=0.0,
+    )
+    assert rep["compacted_buckets"] or rep["packed_buckets"]
+    return read_transcripts(spark, table).select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    )
+
+
 def q_cdc_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mid-stream int→long type widening: batches 0-1 carry a turn column
     ``score`` as INT (lsn % 100); batch 2 carries it as LONG with values
@@ -1094,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scan_range": q_cdc_scan_range,
         "cdc_lookup_batch": q_cdc_lookup_batch,
         "cdc_eq_probe": q_cdc_eq_probe,
+        "cdc_maintain": q_cdc_maintain,
         "cdc_widening": q_cdc_widening,
         "agg_pricing": q_agg_pricing,
         "shipping_priority": q_shipping_priority,
@@ -1249,6 +1272,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_scan_range": _CDC_SCAN_RANGE_ORACLE,
         "cdc_lookup_batch": _CDC_LOOKUP_BATCH_ORACLE,
         "cdc_eq_probe": _CDC_EQ_PROBE_ORACLE,
+        # maintenance is state-preserving ⇒ same oracle as cdc_replay
+        "cdc_maintain": _CDC_REPLAY_ORACLE,
         "cdc_widening": _CDC_WIDENING_ORACLE,
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -484,6 +484,64 @@ def binpack_deltas(
     return []
 
 
+def maintain_cycle(
+    spark: SparkSession,
+    table: SnapshotTable,
+    batch_id: str,
+    compact_depth: int = 16,
+    compact_bytes: int | None = None,
+    zorder: list[str] | None = None,
+    expire_tombstones_below: int | None = None,
+    binpack_target_bytes: int = 64 << 20,
+    binpack_min_dirs: int = 3,
+    expire_retain: int = 100,
+    orphan_grace_seconds: float = 3600.0,
+    expire_older_than_s: float | None = None,
+) -> dict:
+    """One scheduled maintenance pass combining the three background
+    levers in their natural order (the single cadence policy a production
+    stream runs from one cron/maintenance loop instead of three):
+
+    1. **partial compaction** of pressure-exceeding buckets
+       (``compact_pressured``) — hot, deep delta stacks fold first; their
+       deltas vanish, so the next step never wastes a pack on them;
+    2. **delta bin-packing** of everything still standing
+       (``binpack_deltas``) — cold buckets' dribble files merge verbatim
+       (no resolve shuffle), bounding file counts table-wide;
+    3. **snapshot expiration + orphan GC** (``expire_snapshots``) —
+       metadata and dead data dirs stay bounded for an unbounded stream.
+
+    Each step is its own idempotent commit keyed off ``batch_id`` with a
+    step suffix (``::compact`` / ``::binpack``), so a crashed cycle
+    re-runs cleanly: finished steps no-op, the unfinished one retries —
+    the same exactly-once contract as ingest. Steps that find nothing to
+    do are metadata-only (no Spark job). Returns a per-step report.
+
+    Cadence guidance (compaction_bench evidence, BENCH/BASELINE.md):
+    run the cycle every ~N micro-batches with ``compact_depth`` ≈ N so
+    pressure-folds amortize, and let bin-packing sweep at the same
+    cadence — it is cheap enough (verbatim copy of small dirs only) that
+    over-calling it costs one no-op snapshot read."""
+    report: dict = {"batch_id": batch_id}
+    folded = compact_pressured(
+        spark, table, batch_id=f"{batch_id}::compact",
+        depth_threshold=compact_depth, bytes_threshold=compact_bytes,
+        zorder=zorder, expire_tombstones_below=expire_tombstones_below,
+    )
+    report["compacted_buckets"] = folded
+    report["packed_buckets"] = binpack_deltas(
+        spark, table, batch_id=f"{batch_id}::binpack",
+        target_bytes=binpack_target_bytes, min_dirs=binpack_min_dirs,
+    )
+    report["expired"] = table.expire_snapshots(
+        retain_last=expire_retain,
+        orphan_grace_seconds=orphan_grace_seconds,
+        older_than_s=expire_older_than_s,
+    )
+    report["table_version"] = table.current_version()
+    return report
+
+
 def evolve_buckets(
     spark: SparkSession,
     table: SnapshotTable,

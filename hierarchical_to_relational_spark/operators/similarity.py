@@ -405,3 +405,183 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
     e = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
     denom = e.count()
     return (a.intersect(e).count() / denom) if denom else 1.0
+
+
+# -- persisted IVF index ---------------------------------------------------
+
+
+class IvfIndex:
+    """Persisted inverted-file ANN index: centroids + the cell-assigned
+    inverted file written once to a directory, so repeated queries skip
+    both centroid training and the full-corpus assignment pass (the two
+    corpus-scale stages of ``ivf_topk``).
+
+    Layout (one directory):
+
+    - ``_meta.json`` — centroids (metadata-scale: n_cells × dim doubles),
+      build parameters, and an optional caller-supplied provenance dict
+      (e.g. ``{"table_version": 41}`` when the corpus came from a
+      SnapshotTable — the index is a snapshot-pinned derived artifact,
+      like every other view of the table).
+    - ``invfile/cell=<k>/part-*.parquet`` — (neighbor_id, cv) hive-
+      partitioned by cell. A probe touching ``n_probe`` of ``n_cells``
+      cells reads ONLY those directories: the search prunes at the scan
+      (collected probe cells → ``isin`` partition filter), so per-query
+      IO drops by ~n_probe/n_cells at ANY corpus size. The dynamic-
+      partition write tax (~0.5 s/commit, BENCH/BASELINE.md) is paid once
+      per index build — a background job — not per query.
+
+    Publication is atomic (stage dir + rename): readers either see the
+    complete index or the previous one, never a half-written invfile —
+    the same tmp+rename discipline as the table's snapshot commits.
+    """
+
+    META = "_meta.json"
+
+    def __init__(self, path: str, meta: dict):
+        self.path = path
+        self.meta = meta
+        self.centroids: list[tuple[int, list[float]]] = [
+            (int(c), v) for c, v in meta["centroids"]
+        ]
+
+    # -- build / load ----------------------------------------------------
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = 16,
+        n_iters: int = 4,
+        seed: int = 0,
+        train_sample: int | None = None,
+        assign: str = "join",
+        provenance: dict | None = None,
+        overwrite: bool = False,
+    ) -> "IvfIndex":
+        if assign not in ("join", "arrow"):
+            raise ValueError(f"unknown assign strategy {assign!r} (join | arrow)")
+        import json
+        import os
+        import shutil
+        import uuid
+
+        if os.path.exists(path) and not overwrite:
+            raise FileExistsError(f"index exists at {path}; pass overwrite=True")
+        cents = ivf_centroid_list(corpus, id_col, vec_col, n_cells, n_iters, seed, train_sample)
+        if not cents:
+            raise ValueError("degenerate corpus (no non-null vectors): nothing to index")
+        spark = corpus.sparkSession
+        cent = spark.createDataFrame(cents, "cell int, cvec array<double>")
+        c = corpus.select(
+            F.col(id_col).alias("_id"),
+            _unit(F.col(vec_col).cast("array<double>")).alias("v"),
+        ).where(F.col("v").isNotNull())
+        c_cells = _assign_cells(c, cent) if assign == "join" else _assign_cells_arrow(c, cents)
+        stage = f"{path.rstrip('/')}.stage-{uuid.uuid4().hex}"
+        try:
+            (
+                c_cells.select(F.col("_id").alias("neighbor_id"), "cell", F.col("v").alias("cv"))
+                # one file per cell dir (cells are ~corpus/n_cells rows;
+                # size n_cells so a cell fits a task): repartition on cell
+                # BEFORE partitionBy, or every task opens every cell's file
+                .repartition("cell")
+                .write.partitionBy("cell")
+                .parquet(os.path.join(stage, "invfile"))
+            )
+            meta = {
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "n_cells_requested": n_cells,
+                "n_iters": n_iters,
+                "seed": seed,
+                "train_sample": train_sample,
+                "assign": assign,
+                "dim": len(cents[0][1]),
+                "centroids": [[c0, v0] for c0, v0 in cents],
+                "provenance": provenance or {},
+            }
+            with open(os.path.join(stage, IvfIndex.META), "w") as f:
+                json.dump(meta, f)
+                f.flush()
+                os.fsync(f.fileno())
+            if os.path.exists(path):
+                old = f"{path.rstrip('/')}.old-{uuid.uuid4().hex}"
+                os.replace(path, old)
+                os.replace(stage, path)
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.replace(stage, path)
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        return IvfIndex(path, meta)
+
+    @staticmethod
+    def load(path: str) -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, IvfIndex.META)) as f:
+            return IvfIndex(path, json.load(f))
+
+    # -- search ----------------------------------------------------------
+    def _cent(self, spark) -> DataFrame:
+        return spark.createDataFrame(self.centroids, "cell int, cvec array<double>")
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        id_col: str | None = None,
+        vec_col: str | None = None,
+    ) -> DataFrame:
+        """Top-k over the persisted inverted file. Two stages:
+
+        1. probe selection — queries × broadcast(centroids), then the
+           union of probed cells is collected (bounded by n_cells, a
+           metadata-scale driver list) and pushed into the invfile scan
+           as an ``isin`` PARTITION filter: only n_probe-ish of n_cells
+           directories are read;
+        2. the standard probe+score stage (``_ivf_search``) over that
+           pruned scan.
+
+        Matches ``ivf_topk(...)`` built with the same parameters exactly
+        (tested) — the index just makes the corpus-side work one-time."""
+        import os
+
+        spark = queries.sparkSession
+        id_col = id_col or self.meta["id_col"]
+        vec_col = vec_col or self.meta["vec_col"]
+        cent = self._cent(spark)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            _unit(F.col(vec_col).cast("array<double>")).alias("qv"),
+        ).where(F.col("qv").isNotNull())
+        qc = q.crossJoin(F.broadcast(cent)).withColumn("_d", _dot(F.col("qv"), F.col("cvec")))
+        wq = Window.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cell"))
+        probes = (
+            qc.withColumn("_r", F.row_number().over(wq))
+            .where(F.col("_r") <= n_probe)
+            .select("query_id", "qv", "cell")
+            .localCheckpoint()  # probe set is reused twice (cell collect + join)
+        )
+        cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+        inv = (
+            spark.read.parquet(os.path.join(self.path, "invfile"))
+            .where(F.col("cell").isin(cells))  # static partition pruning
+            .select("neighbor_id", F.col("cell").cast("int").alias("cell"), "cv")
+        )
+        scored = (
+            inv.join(F.broadcast(probes), "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("cos"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+        )

@@ -103,3 +103,78 @@ def register_changes_view(
     name = f"{prefix}_changes"
     df.createOrReplaceTempView(name)
     return name
+
+
+def export_snapshot(
+    spark: SparkSession,
+    table: SnapshotTable,
+    path: str,
+    version: int | None = None,
+    table_name: str | None = None,
+    overwrite: bool = False,
+) -> dict:
+    """Cross-APPLICATION SQL export: materialize the resolved live rows at
+    one version as a PLAIN parquet directory plus the one-line DDL that
+    attaches it to any Spark SQL catalog — ``CREATE TABLE <name> USING
+    parquet LOCATION '<path>'``. A JDBC/Thrift user, a different Spark
+    application, DuckDB, or any parquet reader gets the snapshot WITHOUT
+    running engine Python — the lakehouse "export a consistent snapshot"
+    story (``register_views`` covers same-application sessions; this
+    covers everything else).
+
+    The export is immutable and snapshot-pinned: it is a COPY of version
+    ``version`` (default current), not a live view — later commits to the
+    SnapshotTable do not leak in (exactly the isolation a downstream BI
+    extract wants). Publication is atomic (stage + rename): readers never
+    see a partial directory. ``_export.json`` inside records provenance
+    {source_root, version, row schema}.
+
+    If ``table_name`` is given the DDL is also EXECUTED here, registering
+    the table in this application's catalog (shared by every session of
+    the SparkContext — ``spark.newSession()`` or a Thrift session sees it
+    with zero Python).
+
+    Returns {"path", "version", "ddl", "registered"}."""
+    import json as _json
+    import os
+    import shutil
+    import uuid
+
+    from hierarchical_to_relational_spark.operators.merge import read_transcripts
+
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(f"export exists at {path}; pass overwrite=True")
+    v = table.current_version() if version is None else version
+    df = read_transcripts(spark, table, version=v)
+    stage = f"{path.rstrip('/')}.stage-{uuid.uuid4().hex}"
+    try:
+        df.write.parquet(os.path.join(stage, "data"))
+        with open(os.path.join(stage, "_export.json"), "w") as f:
+            _json.dump({"source_root": table.root, "version": v,
+                        "schema": df.schema.jsonValue()}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        if os.path.exists(path):
+            old = f"{path.rstrip('/')}.old-{uuid.uuid4().hex}"
+            os.replace(path, old)
+            os.replace(stage, path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(stage, path)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    data_loc = os.path.abspath(os.path.join(path, "data"))
+    ddl = None
+    registered = False
+    if table_name is not None:
+        # external (LOCATION) table: DROP removes only catalog metadata,
+        # never the exported files
+        ddl = (f"CREATE TABLE {table_name} USING parquet "
+               f"LOCATION '{data_loc}'")
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        spark.sql(ddl)
+        registered = True
+    else:
+        ddl = f"CREATE TABLE <name> USING parquet LOCATION '{data_loc}'"
+    return {"path": path, "version": v, "ddl": ddl, "registered": registered}

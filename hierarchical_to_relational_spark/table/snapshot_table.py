@@ -310,6 +310,12 @@ class SnapshotTable:
         # min-max sidecar comes from parquet FOOTERS only (metadata pages,
         # ~5 ms), never data pages.
         self.stats_mode: str = "auto"
+        # secondary-index bloom build: "pyarrow" (driver column read,
+        # fastest on local roots), "spark" (executor-side applyInPandas —
+        # the only path that keeps remote roots off the driver), "auto"
+        # (locality rule, like stats_mode). Both produce bit-identical
+        # sidecars (tested).
+        self.bloom_mode: str = "auto"
 
     # ---------- snapshot log ----------
 
@@ -889,7 +895,17 @@ class SnapshotTable:
         index_cols = [c for c in self.snapshot().get("index_cols", [])
                       if c in schema.fieldNames()]
         if index_cols:
-            self._build_bloom_sidecar(commit_abs, file_stats, index_cols)
+            bmode = self.bloom_mode
+            if bmode == "auto":
+                # same locality rule as stats_mode: a remote root can't be
+                # re-read driver-side; a local root's column read is faster
+                # than scheduling a Spark job for it
+                bmode = "spark" if "://" in self.root else "pyarrow"
+            if bmode == "spark":
+                self._build_bloom_sidecar_spark(
+                    df.sparkSession, commit_abs, file_stats, index_cols)
+            else:
+                self._build_bloom_sidecar(commit_abs, file_stats, index_cols)
         with open(os.path.join(commit_abs, FILE_STATS_NAME), "w") as f:
             json.dump(file_stats, f)
         return commit_rel, written
@@ -924,6 +940,59 @@ class SnapshotTable:
                     blooms[col] = _bloom_build(vals, xxh64)
             if blooms:
                 st["bloom"] = blooms
+
+    @staticmethod
+    def _build_bloom_sidecar_spark(spark, commit_abs: str, file_stats: dict,
+                                   index_cols: list[str]) -> None:
+        """EXECUTOR-SIDE twin of ``_build_bloom_sidecar``: one Spark job
+        reads the just-written files where they live (remote object store
+        included — the reason this path exists: the pyarrow variant is a
+        driver-side re-read of the indexed columns, which on s3://-style
+        roots is remote IO on the commit path), groups rows by source file,
+        and builds each file's per-column bloom INSIDE an applyInPandas
+        task. Only the finished blooms — a few hundred bytes per file —
+        travel to the driver. Bit-identical to the pyarrow build (bloom
+        bits are an order-independent OR over the distinct-value set, and
+        sizing depends only on the distinct count), asserted by test."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from hierarchical_to_relational_spark.functions.xxh64 import xxh64
+
+        df = spark.read.parquet(commit_abs)
+        present = [c for c in index_cols if c in df.columns]
+        if not present:
+            return
+        # integral pandas columns go float under nulls; remember which
+        # columns must coerce back to int for the canonical byte form
+        integral = {f.name for f in df.schema.fields
+                    if f.name in present and f.dataType.typeName()
+                    in ("byte", "short", "integer", "long")}
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            fname = os.path.basename(pdf["_f"].iloc[0])
+            for col in present:
+                vals = set(pdf[col].dropna().tolist())
+                if col in integral:
+                    vals = {int(v) for v in vals}
+                if vals:
+                    b = _bloom_build(vals, xxh64)
+                    out.append((fname, col, b["m"], b["k"], b["b64"]))
+            return pd.DataFrame(out, columns=["file", "col", "m", "k", "b64"])
+
+        rows = (
+            df.select(F.input_file_name().alias("_f"), *present)
+            .groupBy("_f")
+            .applyInPandas(build, "file string, col string, m long, k int, b64 string")
+            .collect()
+        )
+        for r in rows:
+            if r["file"] in file_stats:
+                file_stats[r["file"]].setdefault("bloom", {})[r["col"]] = {
+                    "m": int(r["m"]), "k": int(r["k"]), "b64": r["b64"],
+                }
 
     @staticmethod
     def _observed_stats(m: dict, nb: int, commit_abs: str) -> tuple[dict, dict]:

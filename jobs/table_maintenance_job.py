@@ -7,6 +7,10 @@ surface for every table-lifecycle operation the engine supports.
 Actions:
   binpack    merge small delta dirs verbatim (no resolve, no base
              rewrite) — the cheap file-count lever for cold buckets
+  maintain   ONE combined cadence pass: pressure-driven partial
+             compaction, then table-wide delta bin-packing, then
+             snapshot expiration + orphan GC — the single loop a
+             production stream schedules instead of three
   compact    fold merge-on-read deltas copy-on-write (optionally expiring
              tombstones below an LSN watermark; --zorder for multi-column
              clustering)
@@ -62,6 +66,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="only pack buckets with at least this many small "
                          "dirs (the pack must reduce fan-in to pay for "
                          "itself)")
+
+    mt = sub.add_parser("maintain")
+    mt.add_argument("--batch-id", default=None)
+    mt.add_argument("--compact-depth", type=int, default=16,
+                    help="fold buckets whose delta stack is at least this "
+                         "deep (partial compaction, step 1)")
+    mt.add_argument("--compact-bytes", type=int, default=None,
+                    help="also fold buckets with at least this many delta "
+                         "bytes")
+    mt.add_argument("--zorder", default=None, metavar="COL[,COL...]")
+    mt.add_argument("--expire-tombstones-below", type=int, default=None)
+    mt.add_argument("--target-bytes", type=int, default=64 << 20,
+                    help="bin-pack small delta dirs under this sum (step 2)")
+    mt.add_argument("--min-dirs", type=int, default=3)
+    mt.add_argument("--retain-last", type=int, default=100,
+                    help="snapshot expiration (step 3)")
+    mt.add_argument("--orphan-grace-s", type=float, default=3600.0)
+    mt.add_argument("--older-than-s", type=float, default=None)
 
     e = sub.add_parser("expire")
     e.add_argument("--retain-last", type=int, default=100)
@@ -223,6 +245,24 @@ def main(argv: list[str] | None = None) -> int:
                                     min_dirs=args.min_dirs)
             out = {"packed_buckets": packed, "batch_id": bid,
                    "table_version": table.current_version()}
+            print(json.dumps(out, default=str))
+            return 0
+        if args.action == "maintain":
+            from hierarchical_to_relational_spark.operators.merge import maintain_cycle
+
+            bid = args.batch_id or f"maintenance-cycle-v{table.current_version()}"
+            out = maintain_cycle(
+                spark, table, batch_id=bid,
+                compact_depth=args.compact_depth,
+                compact_bytes=args.compact_bytes,
+                zorder=args.zorder.split(",") if args.zorder else None,
+                expire_tombstones_below=args.expire_tombstones_below,
+                binpack_target_bytes=args.target_bytes,
+                binpack_min_dirs=args.min_dirs,
+                expire_retain=args.retain_last,
+                orphan_grace_seconds=args.orphan_grace_s,
+                expire_older_than_s=args.older_than_s,
+            )
             print(json.dumps(out, default=str))
             return 0
         if args.action == "compact":

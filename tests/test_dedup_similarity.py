@@ -255,3 +255,65 @@ def test_ivf_auto_probe_hits_target(spark):
     # target 1.0 terminates (all-cells probe == brute force)
     p_full, r_full = sim.ivf_auto_probe(queries, emb, k=10, n_cells=16, target_recall=1.0)
     assert r_full == 1.0 and p_full <= 16
+
+
+def test_ivf_index_persist_matches_inline(spark, tmp_path):
+    """IvfIndex: build → load → search must equal the inline ivf_topk with
+    identical parameters (same centroids, same tiebreaks), and the probe
+    stage must PRUNE the invfile scan to the probed cell partitions —
+    repeated queries pay n_probe/n_cells of the corpus IO, not a full scan."""
+    import os
+
+    emb = _embeddings(spark)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "ivf")
+    idx = sim.IvfIndex.build(
+        emb, path, n_cells=16, provenance={"source": "sf0.001/embeddings"}
+    )
+    loaded = sim.IvfIndex.load(path)
+    assert loaded.meta["provenance"] == {"source": "sf0.001/embeddings"}
+    assert [c for c, _ in loaded.centroids] == [c for c, _ in idx.centroids]
+
+    got = loaded.search(queries, k=10, n_probe=4)
+    want = sim.ivf_topk(queries, emb, k=10, n_cells=16, n_probe=4)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    # scan pruning: the search's invfile read touches only the probed
+    # cells' partition dirs, not all of them
+    cells_total = {d for d in os.listdir(os.path.join(path, "invfile")) if d.startswith("cell=")}
+    assert len(cells_total) > 4
+    cent = loaded._cent(spark)
+    one = queries.orderBy("vec_id").limit(1)  # 1 query probes 4 of 16 cells
+    q = one.select(F.col("vec_id").alias("query_id"),
+                   sim._unit(F.col("embedding").cast("array<double>")).alias("qv"))
+    qc = q.crossJoin(F.broadcast(cent)).withColumn("_d", sim._dot(F.col("qv"), F.col("cvec")))
+    from pyspark.sql import Window
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cell"))
+    probed = {r["cell"] for r in qc.withColumn("_r", F.row_number().over(wq))
+              .where(F.col("_r") <= 4).select("cell").distinct().collect()}
+    pruned = (spark.read.parquet(os.path.join(path, "invfile"))
+              .where(F.col("cell").isin(list(probed))))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # hive-partitioned by cell → the isin is a PARTITION filter: the scan
+    # plans only the probed dirs (inputFiles() is logical-level and would
+    # not show pruning)
+    assert "PartitionFilters: [cell" in plan
+    import re as _re
+    m = _re.search(r"PartitionFilters: \[cell#\d+ IN? ?\(([^)]*)\)", plan)
+    assert m, plan
+    assert {s.strip() for s in m.group(1).split(",")} == {str(c) for c in probed}
+    assert len(probed) < len(cells_total)
+    assert pruned.count() == sum(
+        1 for r in spark.read.parquet(os.path.join(path, "invfile"))
+        .select("cell").collect() if r["cell"] in probed)
+
+    # atomic rebuild: overwrite=True swaps in a complete new index;
+    # without the flag a rebuild refuses to clobber
+    with pytest.raises(FileExistsError):
+        sim.IvfIndex.build(emb, path, n_cells=16)
+    sim.IvfIndex.build(emb, path, n_cells=8, overwrite=True)
+    re = sim.IvfIndex.load(path)
+    assert re.meta["n_cells_requested"] == 8
+    got8 = re.search(queries, k=10, n_probe=8)
+    want8 = sim.ivf_topk(queries, emb, k=10, n_cells=8, n_probe=8)
+    assert {tuple(r) for r in got8.collect()} == {tuple(r) for r in want8.collect()}

@@ -213,3 +213,44 @@ def test_scan_range_timestamp_bounds_coerced(spark, tmp_path, capsys, table):
                "--lo", "0", "--hi", "0")
     want2 = read_transcripts(spark, t).where("turn_idx = 0").count()
     assert sr2["rows"] == want2 > 0
+
+
+def test_maintain_cycle_action(spark, tmp_path, capsys, table):
+    """`maintain` — the combined cadence pass — folds pressured buckets,
+    bin-packs the cold dribble, expires snapshots, and leaves the state
+    byte-equal to the oracle; a re-run with the same batch id no-ops the
+    commit steps (exactly-once, same as ingest)."""
+    root, events = table
+    # pass 1: pressure threshold 2 → every bucket with ≥2 deltas folds;
+    # bin-packing then finds nothing ≥ --min-dirs; expiration trims to 3
+    m = _run(capsys, "--table", root, "maintain", "--compact-depth", "2",
+             "--retain-last", "3", "--orphan-grace-s", "0")
+    assert m["compacted_buckets"], "deep delta stacks must fold"
+    assert m["expired"]["expired_snapshots"] >= 0
+    t = SnapshotTable(root)
+    assert t.delta_depth() == 1  # folded: base dir only on every bucket
+
+    # stack fresh shallow deltas, then a pack-only cycle (depth threshold
+    # too high to compact): the small dirs merge verbatim
+    from hierarchical_to_relational_spark.operators import merge as mg
+    import pyspark.sql.functions as F
+
+    live = t.read(spark).limit(6).persist()
+    for i in range(3):
+        t.commit_append(live.withColumn("_lsn", F.col("_lsn") + 0), f"dribble-{i}")
+    live.unpersist()
+    m2 = _run(capsys, "--table", root, "maintain", "--compact-depth", "99",
+              "--min-dirs", "2", "--batch-id", "cycle-2")
+    assert m2["compacted_buckets"] == [] and m2["packed_buckets"]
+    # idempotent re-run: both commit steps are spent ids → no-ops
+    m3 = _run(capsys, "--table", root, "maintain", "--compact-depth", "99",
+              "--min-dirs", "2", "--batch-id", "cycle-2")
+    assert m3["compacted_buckets"] == [] and m3["packed_buckets"] == []
+
+    got = (read_transcripts(spark, SnapshotTable(root))
+           .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True))
+    import pandas as pd
+    want = datagen.expected_state(events)
+    pd.testing.assert_frame_equal(got.astype({"turn_idx": "int64"}),
+                                  want.astype({"turn_idx": "int64"}), check_dtype=False)
+    assert mg.maintain_cycle is not None  # imported surface

@@ -195,3 +195,55 @@ def test_global_views_visible_to_fresh_session(spark, tmp_path):
         s2.sql("SELECT * FROM sess_tr").collect()
     with pytest.raises(ValueError, match="scope"):
         h2r_sql.register_views(spark, pipe.table, scope="cluster")
+
+
+def test_export_snapshot_cross_application(spark, tmp_path, table3):
+    """export_snapshot: an immutable, snapshot-pinned parquet copy + the
+    one-line DDL attaching it to any Spark SQL catalog. The registered
+    external table is visible to a fresh session with zero Python, later
+    table commits do NOT leak into the export, and DuckDB (a non-Spark
+    parquet reader standing in for 'any other engine') reads the same
+    rows."""
+    from hierarchical_to_relational_spark import sql as h2r_sql
+    from hierarchical_to_relational_spark.operators.merge import read_transcripts
+
+    t = table3.table
+    path = str(tmp_path / "export")
+    out = h2r_sql.export_snapshot(spark, t, path, table_name="tx_export_t")
+    try:
+        assert out["registered"] and "USING parquet LOCATION" in out["ddl"]
+        want = sorted((r["conv_id"], r["turn_idx"], r["text"]) for r in
+                      read_transcripts(spark, t, version=out["version"]).collect())
+
+        s2 = spark.newSession()  # catalog table: visible cross-session, pure SQL
+        got = sorted(tuple(r) for r in s2.sql(
+            "SELECT conv_id, turn_idx, text FROM tx_export_t").collect())
+        assert got == want
+
+        # pinned: a post-export commit must not appear in the export
+        table3.apply_batch(_env_rows(spark, [
+            (9, "insert", "cZ", [(0, "user", "late", None)]),
+        ]), "late")
+        again = sorted(tuple(r) for r in s2.sql(
+            "SELECT conv_id, turn_idx, text FROM tx_export_t").collect())
+        assert again == want
+
+        # any parquet engine reads it: DuckDB over the exported files
+        import duckdb, os
+        con = duckdb.connect()
+        dd = sorted(tuple(r) for r in con.execute(
+            f"SELECT conv_id, turn_idx, text FROM read_parquet('{os.path.join(path, 'data', '*.parquet')}')"
+        ).fetchall())
+        assert dd == want
+
+        # refusal without overwrite; atomic replace with it (new version)
+        with pytest.raises(FileExistsError):
+            h2r_sql.export_snapshot(spark, t, path)
+        out2 = h2r_sql.export_snapshot(spark, t, path, table_name="tx_export_t",
+                                       overwrite=True)
+        assert out2["version"] > out["version"]
+        got2 = sorted(tuple(r) for r in spark.newSession().sql(
+            "SELECT conv_id, turn_idx, text FROM tx_export_t").collect())
+        assert ("cZ", 0, "late") in got2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tx_export_t")

@@ -1199,3 +1199,83 @@ def test_binpack_deltas_preserves_state_and_reduces_dirs(spark, tmp_path):
     # min_dirs guard: nothing left to pack at the same threshold
     assert binpack_deltas(spark, t, "bp1", target_bytes=10 << 20,
                           min_dirs=5) == []
+
+
+def test_bloom_sidecar_spark_build_bit_identical(spark, tmp_path):
+    """bloom_mode='spark' (executor-side applyInPandas build, the remote-
+    root path) writes a sidecar BIT-IDENTICAL to the driver-side pyarrow
+    build on the same data, and equality probes prune identically."""
+    import hashlib
+    import json as _json
+    import os
+
+    from hierarchical_to_relational_spark.operators.merge import table_schema_for
+    from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+    from tests.test_cdc import _env_rows
+
+    turn_cols = [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+
+    def build(root, ck, bloom_mode):
+        SnapshotTable.create(root, table_schema_for(turn_cols), 4,
+                             index_cols=["text", "turn_idx"])
+        pipe = CdcPipeline(spark, str(tmp_path / "bl"), root, ck,
+                           n_buckets=4, text_mode="none")
+        pipe.table.bloom_mode = bloom_mode
+        lsn = 0
+        for b in range(2):
+            rows = []
+            for i in range(10):
+                lsn += 1
+                tx = hashlib.md5(f"{b}-{i}".encode()).hexdigest()
+                rows.append((lsn, "insert", f"c{b}{i}", [(i, "user", tx, None)]))
+            pipe.apply_batch(_env_rows(spark, rows), f"b{b}")
+        return pipe.table
+
+    ta = build(str(tmp_path / "ta"), str(tmp_path / "cka"), "pyarrow")
+    tb = build(str(tmp_path / "tb"), str(tmp_path / "ckb"), "spark")
+
+    def blooms(t):
+        # commit dirs carry uuid names: walk them in VERSION order (the
+        # deterministic order both tables share); files inside a commit
+        # sort by their part index
+        seen, out = set(), []
+        for v in range(1, t.current_version() + 1):
+            dirs = {d for ds in t.snapshot(v)["live"].values() for d in ds}
+            for d in sorted(dirs - seen):
+                sc = os.path.join(t.root, d, "_file_stats.json")
+                if os.path.exists(sc):
+                    with open(sc) as f:
+                        fs = _json.load(f)
+                    out.extend(fs[rel]["bloom"] for rel in sorted(fs)
+                               if "bloom" in fs[rel])
+            seen |= dirs
+        return out
+
+    ba, bb = blooms(ta), blooms(tb)
+    assert ba and len(ba) == len(bb)
+    # same data partitioned the same way → same per-file distinct sets →
+    # identical bloom bits, both columns (string AND integral, whose
+    # pandas null-float round trip must coerce back)
+    assert _json.dumps(ba, sort_keys=True) == _json.dumps(bb, sort_keys=True)
+
+    probe = hashlib.md5(b"1-3").hexdigest()
+    kept_a = ta.read(spark, col_eq={"text": probe}).inputFiles()
+    kept_b = tb.read(spark, col_eq={"text": probe}).inputFiles()
+    # identical blooms → identical pruning decisions (file NAMES differ:
+    # uuid part files — the counts and the result rows are the invariant)
+    assert len(kept_a) == len(kept_b) and kept_a
+    assert len(kept_a) < len(ta.read(spark).inputFiles())
+    # col_eq prunes FILES (superset semantics); the row filter is the
+    # caller's — together they give the exact probe result on both builds
+    for t in (ta, tb):
+        assert ({tuple(r) for r in t.read(spark, col_eq={"text": probe})
+                 .where(F.col("text") == probe)
+                 .select("conv_id", "text").collect()}
+                == {("c13", probe)})
