@@ -396,9 +396,11 @@ def q_cdc_eq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cdc_table(spark: SparkSession, sf_dir: str, n_batches: int = 3,
-               index_cols: list | None = None):
+               index_cols: list | None = None, after_batch=None):
     """The _run_cdc replay, returning the TABLE (for queries that read it
-    in a non-default way)."""
+    in a non-default way). ``after_batch(table, b)`` runs between batches
+    — the hook incremental consumers (materialized views) use to observe
+    every intermediate version."""
     env = _mk_envelopes(_t(spark, sf_dir, "events"))
     root = tempfile.mkdtemp(prefix="h2r-cdc-t-")
     turn_cols = [
@@ -415,6 +417,8 @@ def _cdc_table(spark: SparkSession, sf_dir: str, n_batches: int = 3,
         batch = env.where(F.col("lsn") % n_batches == b)
         upserts, deletes = normalize_envelopes(batch, text_mode="none")
         apply_cdc_batch(spark, table, upserts, deletes, batch_id=f"replay-{b}")
+        if after_batch is not None:
+            after_batch(table, b)
     return table
 
 
@@ -438,6 +442,32 @@ def q_cdc_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_transcripts(spark, table).select(
         "conv_id", "turn_idx", "role", "text", "ts"
     )
+
+
+def q_cdc_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view (operators.mview.ConvAggregateView):
+    a per-conversation aggregate table maintained from the CDC change
+    stream — refreshed after EVERY replay batch (first refresh is the
+    full build, the rest are incremental: changes_since finds the touched
+    conversations, a key-set-pruned lookup recomputes only them, LWW
+    upserts land them). The final view must equal the DuckDB aggregate of
+    the final LWW state — incremental maintenance may never drift from
+    recompute-from-scratch."""
+    from hierarchical_to_relational_spark.operators.mview import ConvAggregateView
+
+    holder: dict = {}
+
+    def _after(table, b):
+        if "mv" not in holder:
+            holder["mv"] = ConvAggregateView(
+                spark, table, tempfile.mkdtemp(prefix="h2r-mv-"))
+        rep = holder["mv"].refresh()
+        holder.setdefault("modes", []).append(rep["mode"])
+
+    _cdc_table(spark, sf_dir, after_batch=_after)
+    assert holder["modes"][0] == "full" and "incremental" in holder["modes"][1:]
+    return holder["mv"].read().select(
+        "conv_id", "n_turns", "last_ts", "n_roles", "chars")
 
 
 def q_cdc_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,6 +597,16 @@ _CDC_REPLAY_ORACLE = """
     SELECT u.conv_id, u.turn_idx, u.role, u.text, u.ts
     FROM ups u LEFT JOIN dels d ON u.conv_id = d.conv_id
     WHERE u.rn = 1 AND (d.del_lsn IS NULL OR u.lsn > d.del_lsn)
+"""
+
+_CDC_MVIEW_ORACLE = f"""
+    WITH state AS ({_CDC_REPLAY_ORACLE})
+    SELECT conv_id,
+           count(*) AS n_turns,
+           max(ts) AS last_ts,
+           count(DISTINCT "role") AS n_roles,
+           CAST(sum(length("text")) AS BIGINT) AS chars
+    FROM state GROUP BY conv_id
 """
 
 
@@ -1117,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lookup_batch": q_cdc_lookup_batch,
         "cdc_eq_probe": q_cdc_eq_probe,
         "cdc_maintain": q_cdc_maintain,
+        "cdc_mview": q_cdc_mview,
         "cdc_widening": q_cdc_widening,
         "agg_pricing": q_agg_pricing,
         "shipping_priority": q_shipping_priority,
@@ -1274,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_eq_probe": _CDC_EQ_PROBE_ORACLE,
         # maintenance is state-preserving ⇒ same oracle as cdc_replay
         "cdc_maintain": _CDC_REPLAY_ORACLE,
+        "cdc_mview": _CDC_MVIEW_ORACLE,
         "cdc_widening": _CDC_WIDENING_ORACLE,
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,

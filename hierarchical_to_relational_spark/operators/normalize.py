@@ -60,7 +60,15 @@ def _normalize_series(texts: pd.Series) -> pd.Series:
     )
     # explicit string type: an all-None/empty batch would otherwise infer
     # a null-typed array, which the regex kernels reject
-    arr = pa.Array.from_pandas(s, type=pa.string())
+    try:
+        arr = pa.Array.from_pandas(s, type=pa.string())
+    except (UnicodeEncodeError, pa.ArrowInvalid):
+        # a lone surrogate (invalid UTF-8) can't cross into Arrow. It can
+        # never arrive via Spark — Arrow batch transfer guarantees valid
+        # UTF-8 — but the direct-Python surface (tests, notebooks) may
+        # carry one; keep the contract by running that batch through the
+        # pure-pandas body, which Python str handles fine.
+        return _normalize_series_pandas(texts)
     arr = pc.replace_substring_regex(
         arr, pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f]", replacement=""
     )

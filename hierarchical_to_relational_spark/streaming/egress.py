@@ -35,6 +35,17 @@ anything new — the callback channel is at-least-once and the export
 channel exactly-once, simultaneously. A follower with neither channel
 only reports counts.
 
+Published windows are additionally journaled to ``out_dir/_windows.jsonl``
+(one tiny JSON line per window, ~30 bytes — bounded by window COUNT, not
+data). The journal is the export stream's manifest: when retention has
+deleted a published-but-unacked export dir, re-delivery consults the
+journal and recomputes each ORIGINAL window (from, to] exactly via
+``changes_since`` instead of collapsing the gap into one merged catch-up
+window — downstream consumers that key their idempotence on window
+boundaries (per-window staging tables, window-id dedup) see the same
+window stream the original run delivered. The underscore prefix keeps it
+invisible to the parquet streaming tail.
+
 A rollback in a polled window emits THROUGH (round 5): changes_since
 scans the dirs the rollback un-referenced (GC-protected while the
 pre-rollback snapshot is retained) and emits synthetic conversation
@@ -127,6 +138,61 @@ class ChangeFollower:
                         shutil.rmtree(stale, ignore_errors=True)
                 except FileNotFoundError:
                     pass
+
+    # -- window journal --------------------------------------------------
+    def _journal_path(self) -> str:
+        return os.path.join(self.out_dir, "_windows.jsonl")
+
+    def _journal_windows(self) -> dict[int, int]:
+        """{from: to} of every journaled window. Tolerates a torn final
+        line (crash mid-append): malformed lines are skipped — the export
+        dir listing is unioned in by callers, so a window whose append
+        tore is still found while its dir lives."""
+        wins: dict[int, int] = {}
+        try:
+            with open(self._journal_path()) as f:
+                for line in f:
+                    try:
+                        w = json.loads(line)
+                        wins[int(w["from"])] = int(w["to"])
+                    except (ValueError, KeyError):
+                        continue
+        except FileNotFoundError:
+            pass
+        return wins
+
+    def _journal_append(self, frm: int, to: int) -> None:
+        if frm in self._journal_windows():
+            return  # crash re-poll of an already-published window
+        with open(self._journal_path(), "a") as f:
+            f.write(json.dumps({"from": frm, "to": to}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def retire_exports(self, keep_last: int, force: bool = False) -> list[str]:
+        """Retention for the export stream: delete all but the newest
+        ``keep_last`` published ``inc-*`` dirs (the journal keeps their
+        boundaries, so later re-delivery recomputes them window-exact).
+        Refuses to retire a published-but-UNACKED window — deleting it
+        would force re-delivery onto the recompute path while the window
+        is still owed to the callback — unless ``force=True`` (recompute
+        from the journal still converges; it just costs a changes_since
+        per window). Returns the removed paths."""
+        wins = []
+        for d in glob.glob(os.path.join(self.out_dir, "inc-*-*")):
+            m = re.fullmatch(r"inc-(\d+)-(\d+)", os.path.basename(d))
+            if m:
+                wins.append((int(m.group(1)), int(m.group(2)), d))
+        wins.sort()
+        victims = wins[:-keep_last] if keep_last > 0 else wins
+        acked = self._acked()
+        removed = []
+        for f, t, d in victims:
+            if not force and (acked is None or t > acked):
+                continue
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(d)
+        return removed
 
     # -- cursor ----------------------------------------------------------
     # The cursor file holds TWO watermarks: ``version`` — the export/window
@@ -241,6 +307,7 @@ class ChangeFollower:
             # else: a previous poll exported this exact window but crashed
             # before advancing the cursor — the diff of (since, v_now] is
             # deterministic, so the existing export IS this poll's output
+            self._journal_append(since, v_now)  # manifest outlives retention
             df = self.spark.read.parquet(final)
             out_path = final
         ops = {r["change_op"]: r["n"] for r in
@@ -280,32 +347,43 @@ class ChangeFollower:
     def _redeliver(self, acked: int, upto: int, on_changes) -> tuple[int, bool]:
         """Re-deliver published-but-unacked windows (acked, upto] to the
         callback, preferring the durable exports (byte-identical to the
-        original delivery); a gap in the published chain (e.g. an export
-        dir removed by retention) falls back to ONE recomputed catch-up
-        window via ``changes_since`` — still net state, so the consumer
-        converges. Returns (windows delivered, ok); ok=False means the gap
-        could not be recomputed either (rollback / expired snapshot) and
-        the caller must surface ``needs_resync``. Advances ``acked`` in
-        the cursor file after each delivered window."""
-        wins = []
+        original delivery). A window whose export dir was retired is
+        looked up in the window journal and RECOMPUTED exactly — same
+        (from, to] boundaries as the original delivery — via
+        ``changes_since``; only a window absent from both (pre-journal
+        follower, or its delta dirs expired) collapses the remainder into
+        ONE recomputed catch-up window — still net state, so the consumer
+        converges. Returns (windows delivered, ok); ok=False means the
+        gap could not be recomputed either (rollback / expired snapshot)
+        and the caller must surface ``needs_resync``. Advances ``acked``
+        in the cursor file after each delivered window."""
+        chain: dict[int, tuple[int, str | None]] = {}
+        for f, t in self._journal_windows().items():
+            if f >= acked and t > acked and t <= upto:
+                chain[f] = (t, None)
         for d in glob.glob(os.path.join(self.out_dir, "inc-*-*")):
             m = re.fullmatch(r"inc-(\d+)-(\d+)", os.path.basename(d))
             if m:
                 f, t = int(m.group(1)), int(m.group(2))
                 if f >= acked and t > acked and t <= upto:
-                    wins.append((f, t, d))
-        wins.sort()
+                    chain[f] = (t, d)  # a live export beats its journal line
         n, pos = 0, acked
-        for f, t, d in wins:
-            if f != pos:
-                break  # gap in the chain → recompute the rest below
-            df = self.spark.read.parquet(d)
+        while pos < upto and pos in chain:
+            t, d = chain[pos]
+            if d is not None:
+                df = self.spark.read.parquet(d)
+            else:
+                # export retired → journal-exact recompute of (pos, t]
+                try:
+                    df = changes_since(self.spark, self.table, pos, version=t)
+                except (ValueError, FileNotFoundError):
+                    break  # its dirs expired too → merged catch-up below
             ops = {r["change_op"]: r["n"] for r in
                    df.groupBy("change_op").count().withColumnRenamed("count", "n").collect()}
-            res = {"from": f, "to": t,
+            res = {"from": pos, "to": t,
                    "upserts": ops.get("u", 0), "deletes": ops.get("d", 0),
                    "out_path": d, "needs_resync": False, "redelivery": True,
-                   "changes": df}
+                   "recomputed": d is None, "changes": df}
             if res["upserts"] or res["deletes"]:
                 on_changes(res)  # error → propagate; acked stays at pos
                 n += 1

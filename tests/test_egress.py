@@ -389,3 +389,66 @@ def test_redelivery_gap_falls_back_to_recompute(spark, tmp_path):
     p2 = f.poll_once(on_changes=lambda r: got.append((r["from"], r["to"], r.get("redelivery"))))
     assert p2["redelivered"] == 1 and got == [(v_a, v_b, True)]
     assert f._acked() == f.cursor() == v_b
+
+
+def test_journal_exact_redelivery_after_retire(spark, tmp_path):
+    """Window journal: after retention deletes published-but-unacked
+    exports, re-delivery recomputes each ORIGINAL window with its exact
+    (from, to] boundaries (not one merged catch-up) — consumers keyed on
+    window ids see the same window stream the original run delivered."""
+    import json
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    cursor = str(tmp_path / "cursor.json")
+    out = str(tmp_path / "egress")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "a0", None)])]), "b0")
+    f = ChangeFollower(spark, pipe.table, cursor, out_dir=out)
+    f.poll_once()
+    v_a = f.cursor()
+    pipe.apply_batch(_env_rows(spark, [(2, "insert", "cB", [(0, "user", "b0", None)])]), "b1")
+    p1 = f.poll_once(on_changes=lambda r: None)
+    pipe.apply_batch(_env_rows(spark, [(3, "insert", "cC", [(0, "user", "c0", None)])]), "b2")
+    p2 = f.poll_once(on_changes=lambda r: None)
+    v_b, v_c = p1["to"], p2["to"]
+
+    # retention removes BOTH exports; the callback acks are rolled back to
+    # v_a (crash lost them) — without the journal this would merge into one
+    # (v_a, v_c] catch-up window
+    removed = f.retire_exports(keep_last=0, force=True)
+    assert len(removed) == 2 and _win_dirs(out) == []
+    with open(cursor, "w") as fh:
+        json.dump({"version": v_c, "acked": v_a}, fh)
+
+    got = []
+    p3 = f.poll_once(on_changes=lambda r: got.append(
+        (r["from"], r["to"], r.get("recomputed"))))
+    assert p3["redelivered"] == 2
+    assert got == [(v_a, v_b, True), (v_b, v_c, True)], \
+        "original window boundaries preserved through retirement"
+    assert f._acked() == f.cursor() == v_c
+
+
+def test_retire_exports_refuses_unacked(spark, tmp_path):
+    """retire_exports keeps published-but-unacked windows by default (they
+    are owed to the callback) and removes acked ones past keep_last."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    cursor = str(tmp_path / "cursor.json")
+    out = str(tmp_path / "egress")
+    pipe.apply_batch(_env_rows(spark, [(1, "insert", "cA", [(0, "user", "a0", None)])]), "b0")
+    f = ChangeFollower(spark, pipe.table, cursor, out_dir=out)
+    f.poll_once()
+    pipe.apply_batch(_env_rows(spark, [(2, "insert", "cB", [(0, "user", "b0", None)])]), "b1")
+    f.poll_once()  # export published, but NO callback ever delivered it
+    v = f.cursor()
+    # force acked behind to model the owed window
+    import json
+    with open(cursor, "w") as fh:
+        json.dump({"version": v, "acked": 1}, fh)
+    assert f.retire_exports(keep_last=0) == [], "unacked window kept"
+    assert len(_win_dirs(out)) == 1
+    with open(cursor, "w") as fh:
+        json.dump({"version": v, "acked": v}, fh)
+    assert len(f.retire_exports(keep_last=0)) == 1, "acked window retired"
+    assert _win_dirs(out) == []

@@ -1,0 +1,138 @@
+"""ConvAggregateView: incremental materialized aggregates over the CDC
+table's change stream — refresh cost O(changed conversations), results
+always equal to a from-scratch recompute."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_to_relational_spark.operators.merge import read_transcripts
+from hierarchical_to_relational_spark.operators.mview import ConvAggregateView
+from hierarchical_to_relational_spark.streaming.driver import CdcPipeline
+from tests.test_cdc import _env_rows
+
+
+def _recompute(spark, table):
+    """Independent from-scratch recompute of the default aggregate."""
+    rows = read_transcripts(spark, table)
+    return {
+        r["conv_id"]: (r["n_turns"], r["last_ts"], r["n_roles"], r["chars"])
+        for r in rows.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max("ts").alias("last_ts"),
+            F.countDistinct("role").alias("n_roles"),
+            F.sum(F.length("text")).alias("chars"),
+        ).collect()
+    }
+
+
+def _mv_state(mv):
+    return {r["conv_id"]: (r["n_turns"], r["last_ts"], r["n_roles"], r["chars"])
+            for r in mv.read().collect()}
+
+
+def test_incremental_matches_recompute_through_updates_and_deletes(spark, tmp_path):
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=4, text_mode="none")
+    mv = ConvAggregateView(spark, pipe.table, str(tmp_path / "mv"))
+
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None), (1, "assistant", "a1", None)]),
+        (2, "insert", "cB", [(0, "user", "b0", None)]),
+    ]), "b0")
+    r0 = mv.refresh()
+    assert r0["mode"] == "full"
+    assert _mv_state(mv) == _recompute(spark, pipe.table)
+
+    # update one conv, insert another — refresh touches ONLY those convs
+    pipe.apply_batch(_env_rows(spark, [
+        (3, "update", "cA", [(1, "assistant", "a1-longer-text", None)]),
+        (4, "insert", "cC", [(0, "user", "c0", None)]),
+    ]), "b1")
+    r1 = mv.refresh()
+    assert r1["mode"] == "incremental" and r1["changed_convs"] == 2
+    assert _mv_state(mv) == _recompute(spark, pipe.table)
+
+    # delete a conversation → its MV row disappears
+    pipe.apply_batch(_env_rows(spark, [(5, "delete", "cB", None)]), "b2")
+    r2 = mv.refresh()
+    assert r2["mode"] == "incremental"
+    st = _mv_state(mv)
+    assert "cB" not in st and st == _recompute(spark, pipe.table)
+
+    # no new commits → noop, cursor stays
+    r3 = mv.refresh()
+    assert r3["mode"] == "noop" and not r3["committed"]
+
+
+def test_refresh_is_crash_idempotent(spark, tmp_path):
+    """A refresh replayed after a crash (cursor file lost after commit)
+    converges to the same state: LWW rows keyed on the source version
+    commute, and the commit batch_id dedups the exact replay."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    mv = ConvAggregateView(spark, pipe.table, str(tmp_path / "mv"))
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None)]),
+    ]), "b0")
+    mv.refresh()
+    want = _mv_state(mv)
+    os.remove(os.path.join(str(tmp_path / "mv"), "_mview_cursor.json"))
+    mv2 = ConvAggregateView(spark, pipe.table, str(tmp_path / "mv"))
+    rep = mv2.refresh()  # cursor lost → full rebuild, same state
+    assert rep["mode"] == "full"
+    assert _mv_state(mv2) == want == _recompute(spark, pipe.table)
+    # exact same-window replay (same batch_id) is a no-op commit
+    rep2 = mv2.full_refresh()
+    assert rep2["committed"] is False
+
+
+def test_expired_cursor_falls_back_to_full_and_reconciles_deletes(spark, tmp_path):
+    """When the MV cursor's snapshot expired, refresh() full-rebuilds —
+    including removing MV rows whose conversations were deleted while the
+    window was lost."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    mv = ConvAggregateView(spark, pipe.table, str(tmp_path / "mv"))
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None)]),
+        (2, "insert", "cB", [(0, "user", "b0", None)]),
+    ]), "b0")
+    mv.refresh()
+    # the window the cursor points into expires
+    pipe.apply_batch(_env_rows(spark, [(3, "delete", "cB", None)]), "b1")
+    pipe.apply_batch(_env_rows(spark, [
+        (4, "update", "cA", [(0, "user", "a0x", None)]),
+    ]), "b2")
+    pipe.table.expire_snapshots(retain_last=1, orphan_grace_seconds=0.0)
+    rep = mv.refresh()
+    assert rep["mode"] == "full"
+    st = _mv_state(mv)
+    assert "cB" not in st and st == _recompute(spark, pipe.table)
+
+
+def test_custom_aggregates_and_mv_time_travel(spark, tmp_path):
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    mv = ConvAggregateView(
+        spark, pipe.table, str(tmp_path / "mv"),
+        aggs={"n_user": F.count(F.lit(1)).alias("x"),
+              "longest": F.max(F.length("text"))},
+    )
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "hi", None)]),
+    ]), "b0")
+    mv.refresh()
+    v1 = mv.table.current_version()
+    pipe.apply_batch(_env_rows(spark, [
+        (2, "update", "cA", [(1, "assistant", "a-much-longer-reply", None)]),
+    ]), "b1")
+    mv.refresh()
+    now = {r["conv_id"]: (r["n_user"], r["longest"]) for r in mv.read().collect()}
+    assert now == {"cA": (2, len("a-much-longer-reply"))}
+    then = {r["conv_id"]: (r["n_user"], r["longest"])
+            for r in mv.read(version=v1).collect()}
+    assert then == {"cA": (1, 2)}, "the MV is itself time-travelable"
