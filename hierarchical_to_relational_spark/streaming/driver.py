@@ -92,6 +92,11 @@ class CdcPipeline:
         orphan_grace_seconds: float = 3600.0,
         collect_stats: bool = True,
         source_format: str = "parquet",
+        binpack_every: int | None = None,
+        binpack_target_bytes: int = 64 << 20,
+        binpack_min_dirs: int = 3,
+        mview_root: str | None = None,
+        mview_every: int = 1,
     ):
         self.spark = spark
         self.binlog_dir = binlog_dir
@@ -107,6 +112,19 @@ class CdcPipeline:
         self._batches_applied = 0
         self.collect_stats = collect_stats
         self.source_format = source_format
+        # cold-bucket file-count hygiene: every N batches, verbatim-merge
+        # small delta dirs table-wide (no resolve shuffle, no base rewrite)
+        # — the cheap lever pressure-compaction's depth trigger never
+        # reaches on cold buckets
+        self.binpack_every = binpack_every
+        self.binpack_target_bytes = binpack_target_bytes
+        self.binpack_min_dirs = binpack_min_dirs
+        # co-maintained materialized view (default per-conversation
+        # aggregate profile): refreshed inline every N batches so the MV
+        # lags the table by at most N micro-batches
+        self.mview_root = mview_root
+        self.mview_every = mview_every
+        self._mview = None
         self.envelope_schema = envelope_schema or binlog_source.envelope_schema()
 
         if SnapshotTable.exists(table_root):
@@ -142,6 +160,28 @@ class CdcPipeline:
         # unbounded-stream hygiene: expire old snapshots + orphan data dirs
         # every N applied batches so _snapshots/ and the id set stay bounded
         self._batches_applied += 1
+        if (self.binpack_every is not None
+                and self._batches_applied % self.binpack_every == 0):
+            from hierarchical_to_relational_spark.operators.merge import binpack_deltas
+
+            packed = binpack_deltas(
+                self.spark, self.table, batch_id=f"{batch_id}::binpack",
+                target_bytes=self.binpack_target_bytes,
+                min_dirs=self.binpack_min_dirs,
+            )
+            if packed:
+                metrics["packed_buckets"] = packed
+        if (self.mview_root is not None
+                and self._batches_applied % self.mview_every == 0):
+            if self._mview is None:
+                from hierarchical_to_relational_spark.operators.mview import (
+                    ConvAggregateView,
+                )
+
+                self._mview = ConvAggregateView(self.spark, self.table,
+                                                self.mview_root)
+            mrep = self._mview.refresh()
+            metrics["mview"] = {"mode": mrep["mode"], "to": mrep.get("to")}
         if self.expire_every is not None and self._batches_applied % self.expire_every == 0:
             metrics["expired"] = self.table.expire_snapshots(
                 retain_last=self.retain_snapshots,

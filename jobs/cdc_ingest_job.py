@@ -40,6 +40,15 @@ def main(argv: list[str] | None = None) -> int:
                         "batches (unbounded-stream metadata hygiene)")
     p.add_argument("--retain-snapshots", type=int, default=100)
     p.add_argument("--orphan-grace-s", type=float, default=3600.0)
+    p.add_argument("--binpack-every", type=int, default=None,
+                   help="every N batches, verbatim-merge small delta dirs "
+                        "table-wide (cold-bucket file-count hygiene)")
+    p.add_argument("--binpack-target-mb", type=float, default=64.0)
+    p.add_argument("--mview-root", default=None,
+                   help="co-maintain an incremental per-conversation "
+                        "aggregate view (default profile) at this path")
+    p.add_argument("--mview-every", type=int, default=1,
+                   help="refresh the --mview-root view every N batches")
     p.add_argument("--text-mode", choices=["builtin", "arrow", "none"], default="builtin")
     p.add_argument("--source-format", choices=["parquet", "json", "csv"], default="parquet")
     p.add_argument("--max-files-per-trigger", type=int, default=16)
@@ -86,6 +95,10 @@ def main(argv: list[str] | None = None) -> int:
         orphan_grace_seconds=args.orphan_grace_s,
         source_format=args.source_format,
         compact_zorder=args.compact_zorder.split(",") if args.compact_zorder else None,
+        binpack_every=args.binpack_every,
+        binpack_target_bytes=int(args.binpack_target_mb * 2**20),
+        mview_root=args.mview_root,
+        mview_every=args.mview_every,
     )
     if args.stream:
         q = pipe.run_stream(

@@ -102,3 +102,51 @@ def test_late_segment_new_stream_run(spark, tmp_path, binlog):
     got = _state(spark, pipe)
     want = datagen.expected_state(binlog["events"])
     pd.testing.assert_frame_equal(got.astype({"turn_idx": "int64"}), want.astype({"turn_idx": "int64"}), check_dtype=False)
+
+
+def test_pipeline_binpack_and_mview_cadence(spark, tmp_path):
+    """Inline maintenance cadences on the ingest pipeline: binpack_every
+    merges small delta dirs on schedule (state-preserving), and
+    mview_root co-maintains the incremental per-conversation aggregate —
+    lagging the table by at most mview_every batches and exactly equal to
+    a recompute at refresh points."""
+    from pyspark.sql import functions as F
+
+    from hierarchical_to_relational_spark.operators.merge import read_transcripts
+    from tests.test_cdc import _env_rows
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "bl"), str(tmp_path / "t"), str(tmp_path / "ck"),
+        n_buckets=2, text_mode="none",
+        compact_every=1000,           # keep pressure-compaction out of the way
+        binpack_every=2, binpack_min_dirs=2,
+        mview_root=str(tmp_path / "mv"), mview_every=2,
+    )
+    m0 = pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None)]),
+    ]), "b0")
+    assert "packed_buckets" not in m0 and "mview" not in m0, "cadence=2: not yet"
+    m1 = pipe.apply_batch(_env_rows(spark, [
+        (2, "insert", "cB", [(0, "user", "b0", None)]),
+        (3, "update", "cA", [(0, "user", "a1", None)]),
+    ]), "b1")
+    assert m1.get("packed_buckets"), "two delta dirs binpacked on cadence"
+    assert m1["mview"]["mode"] == "full", "first MV refresh is the build"
+
+    # state preserved through the pack; MV equals recompute at this point
+    state = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in read_transcripts(spark, pipe.table).collect()}
+    assert state == {("cA", 0): "a1", ("cB", 0): "b0"}
+    mv_rows = {r["conv_id"]: r["n_turns"] for r in pipe._mview.read().collect()}
+    assert mv_rows == {"cA": 1, "cB": 1}
+
+    m2 = pipe.apply_batch(_env_rows(spark, [
+        (4, "insert", "cC", [(0, "user", "c0", None)]),
+    ]), "b2")
+    assert "mview" not in m2, "off-cadence batch skips the refresh"
+    m3 = pipe.apply_batch(_env_rows(spark, [
+        (5, "delete", "cB", None),
+    ]), "b3")
+    assert m3["mview"]["mode"] == "incremental"
+    mv_rows = {r["conv_id"]: r["n_turns"] for r in pipe._mview.read().collect()}
+    assert mv_rows == {"cA": 1, "cC": 1}, "delete propagated, cC added"
