@@ -211,6 +211,19 @@ class ConvAggregateView:
         return {"mode": "full", "from": None, "to": v_now,
                 "changed_convs": None, **rep}
 
+    # -- shared-scan internals (refresh_many) ----------------------------
+    def _refresh_from(self, current: DataFrame, affected: DataFrame,
+                      v_now: int, since) -> dict:
+        """Incremental step against an already-materialized slice of the
+        source (``current`` = resolved rows of every affected
+        conversation, possibly a SUPERSET of this view's own window —
+        recomputing an untouched conversation is idempotent under LWW,
+        never wrong)."""
+        agg = self._agg_df(current)
+        dead = affected.join(agg.select("conv_id"), "conv_id", "anti")
+        rep = self._apply(agg, dead, v_now, f"mview::{since}->{v_now}")
+        return {"mode": "incremental", "from": since, "to": v_now, **rep}
+
     # -- read ------------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
         """The materialized aggregate: one row per live conversation
@@ -219,3 +232,83 @@ class ConvAggregateView:
             raise ValueError("view has never been refreshed")
         return read_transcripts(self.spark, self.table,
                                 version=version).drop("turn_idx")
+
+
+def refresh_many(views: list[ConvAggregateView]) -> list[dict]:
+    """Refresh SEVERAL views over the same source table from ONE change
+    scan and ONE pruned read: ``changes_since`` runs once (from the oldest
+    cursor — a superset window for views that are further ahead, which is
+    safe: recompute is idempotent), the affected conversations' current
+    rows materialize once, and every view aggregates off that shared
+    slice. N views cost one scan + N small aggregations instead of N
+    scans — the natural shape when an ingest pipeline co-maintains a
+    dashboard's worth of aggregate views at one cadence.
+
+    Views that have never been built (no cursor) or whose cursor's
+    snapshot expired fall back to their own ``full_refresh``. Returns one
+    report per view, in order."""
+    if not views:
+        return []
+    src_roots = {v.source.root for v in views}
+    if len(src_roots) != 1:
+        raise ValueError("refresh_many: views span different source tables")
+    source = views[0].source
+    spark = views[0].spark
+    v_now = source.current_version()
+
+    reports: dict[int, dict] = {}
+    live: list[ConvAggregateView] = []
+    cursors: dict[int, int] = {}
+    for i, v in enumerate(views):
+        cur = v.cursor()
+        if cur is None:
+            reports[i] = v.full_refresh()
+        elif v_now <= cur:
+            reports[i] = {"mode": "noop", "from": cur, "to": v_now,
+                          "changed_convs": 0, "committed": False}
+        else:
+            live.append(v)
+            cursors[i] = cur
+    if live:
+        since = min(cursors[i] for i, v in enumerate(views) if v in live)
+        try:
+            ch = changes_since(spark, source, since, version=v_now)
+        except (FileNotFoundError, ValueError):
+            for i, v in enumerate(views):
+                if v in live:
+                    reports[i] = v.full_refresh()
+            return [reports[i] for i in range(len(views))]
+        affected = ch.select("conv_id").distinct()
+        thr = min(v.key_set_threshold for v in live)
+        ids = [r[0] for r in affected.limit(thr + 1).collect()]
+        if not ids:
+            for i, v in enumerate(views):
+                if v in live:
+                    v._write_cursor(v_now)
+                    reports[i] = {"mode": "noop", "from": cursors[i],
+                                  "to": v_now, "changed_convs": 0,
+                                  "committed": False}
+            return [reports[i] for i in range(len(views))]
+        if len(ids) <= thr:
+            current = lookup_conversations(spark, source, ids, version=v_now)
+            affected = spark.createDataFrame([(i,) for i in ids],
+                                             "conv_id string")
+            n_changed = len(ids)
+        else:
+            current = read_transcripts(spark, source, version=v_now).join(
+                affected, "conv_id", "semi")
+            n_changed = affected.count()
+        # the slice is read once and served to every view's aggregation
+        current = current.persist()
+        affected = affected.persist()
+        try:
+            for i, v in enumerate(views):
+                if v in live:
+                    rep = v._refresh_from(current, affected, v_now, cursors[i])
+                    rep["changed_convs"] = n_changed
+                    rep["shared_scan"] = True
+                    reports[i] = rep
+        finally:
+            current.unpersist()
+            affected.unpersist()
+    return [reports[i] for i in range(len(views))]

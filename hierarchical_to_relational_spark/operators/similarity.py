@@ -569,11 +569,19 @@ class IvfIndex:
             .localCheckpoint()  # probe set is reused twice (cell collect + join)
         )
         cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-        inv = (
-            spark.read.parquet(os.path.join(self.path, "invfile"))
-            .where(F.col("cell").isin(cells))  # static partition pruning
-            .select("neighbor_id", F.col("cell").cast("int").alias("cell"), "cv")
-        )
+        # base invfile + any MoR-style append deltas: each root is its own
+        # hive-partitioned dir (no common basePath), so read-and-union —
+        # every read prunes to the probed cells' directories
+        parts = []
+        for p in self._inv_paths():
+            parts.append(
+                spark.read.parquet(p)
+                .where(F.col("cell").isin(cells))  # static partition pruning
+                .select("neighbor_id", F.col("cell").cast("int").alias("cell"), "cv")
+            )
+        inv = parts[0]
+        for extra in parts[1:]:
+            inv = inv.unionByName(extra)
         scored = (
             inv.join(F.broadcast(probes), "cell")
             .where(F.col("query_id") != F.col("neighbor_id"))
@@ -585,3 +593,137 @@ class IvfIndex:
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
         )
+
+    # -- incremental maintenance (append / compact / retrain trigger) ----
+    def _inv_paths(self) -> list[str]:
+        import os
+
+        return [os.path.join(self.path, self.meta.get("invfile", "invfile"))] + [
+            os.path.join(self.path, d) for d in self.meta.get("deltas", [])
+        ]
+
+    def _write_meta(self) -> None:
+        import json
+        import os
+        import uuid
+
+        tmp = os.path.join(self.path, f"{IvfIndex.META}.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, IvfIndex.META))
+
+    def append(
+        self,
+        new_vectors: DataFrame,
+        id_col: str | None = None,
+        vec_col: str | None = None,
+    ) -> dict:
+        """Incrementally index NEW vectors without retraining or touching
+        the base inverted file: assign them to the EXISTING centroids
+        (broadcast join — one pass over only the new batch) and publish
+        the result as an append delta dir (``inv-delta-*``, same
+        cell-partitioned layout, staged + renamed atomically). Search
+        unions base + deltas with the same probed-cell pruning — the
+        merge-on-read pattern the snapshot table uses, applied to the
+        index. Cell residents drift as the corpus grows away from the
+        training distribution; ``needs_retrain`` bounds that, and
+        ``compact_deltas`` bounds the dir count between retrains.
+        Single-writer (like every maintenance op here): concurrent
+        appends could drop each other's meta update."""
+        import os
+        import shutil
+        import uuid
+
+        spark = new_vectors.sparkSession
+        id_col = id_col or self.meta["id_col"]
+        vec_col = vec_col or self.meta["vec_col"]
+        cent = self._cent(spark)
+        c = new_vectors.select(
+            F.col(id_col).alias("_id"),
+            _unit(F.col(vec_col).cast("array<double>")).alias("v"),
+        ).where(F.col("v").isNotNull())
+        assigned = (
+            _assign_cells(c, cent) if self.meta.get("assign", "join") == "join"
+            else _assign_cells_arrow(c, self.centroids)
+        )
+        name = f"inv-delta-{uuid.uuid4().hex}"
+        stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
+        try:
+            (
+                assigned.select(F.col("_id").alias("neighbor_id"), "cell",
+                                F.col("v").alias("cv"))
+                .repartition("cell")
+                .write.partitionBy("cell")
+                .parquet(stage)
+            )
+            os.replace(stage, os.path.join(self.path, name))
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        self.meta.setdefault("deltas", []).append(name)
+        self._write_meta()
+        return {"delta": name, "n_deltas": len(self.meta["deltas"])}
+
+    def _dir_rows(self, path: str) -> int:
+        """Row count from parquet FOOTERS (metadata pages only)."""
+        import pyarrow.dataset as ds
+
+        return sum(f.count_rows() for f in ds.dataset(path, format="parquet",
+                                                      partitioning="hive").get_fragments())
+
+    def needs_retrain(self, max_delta_fraction: float = 0.5) -> bool:
+        """True when the appended-but-untrained share of the corpus
+        exceeds ``max_delta_fraction`` — past that, centroids trained on
+        the original distribution stop representing the corpus and probe
+        recall decays; rebuild with ``IvfIndex.build(..., overwrite=True)``
+        from the full corpus. Counts come from parquet footers (metadata
+        read, no Spark job)."""
+        if not self.meta.get("deltas"):
+            return False
+        base = self._dir_rows(self._inv_paths()[0])
+        delta = sum(self._dir_rows(p) for p in self._inv_paths()[1:])
+        total = base + delta
+        return total > 0 and (delta / total) > max_delta_fraction
+
+    def compact_deltas(self) -> dict:
+        """Fold append deltas into a NEW base inverted file (read base +
+        deltas once, rewrite cell-partitioned) — no retraining, search
+        results bit-identical (tested). Commit point is the atomic meta
+        rewrite: meta names the active invfile, so a crash before it
+        leaves the old base + deltas fully live; retired dirs are removed
+        best-effort after (a reader holding the OLD meta object should
+        reload after compaction)."""
+        import os
+        import shutil
+        import uuid
+
+        if not self.meta.get("deltas"):
+            return {"compacted": False, "invfile": self.meta.get("invfile", "invfile")}
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        parts = [
+            spark.read.parquet(p)
+            .select("neighbor_id", F.col("cell").cast("int").alias("cell"), "cv")
+            for p in self._inv_paths()
+        ]
+        merged = parts[0]
+        for extra in parts[1:]:
+            merged = merged.unionByName(extra)
+        new_name = f"invfile-{uuid.uuid4().hex}"
+        stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
+        try:
+            (merged.repartition("cell").write.partitionBy("cell").parquet(stage))
+            os.replace(stage, os.path.join(self.path, new_name))
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        retired = self._inv_paths()
+        self.meta["invfile"] = new_name
+        self.meta["deltas"] = []
+        self._write_meta()  # <-- the commit
+        for p in retired:
+            shutil.rmtree(p, ignore_errors=True)
+        return {"compacted": True, "invfile": new_name}

@@ -125,6 +125,15 @@ class ChangeFollower:
                     old_cursor = self.cursor()
                     old_acked = old_cursor if old_cursor is not None else published_from
                 self._write_cursor(published_to, acked=old_acked)
+            # journal backfill: exports published by a pre-journal follower
+            # (or whose append was lost to a crash) get their boundaries
+            # journaled now, while the dirs still exist — so retention can
+            # later retire them without losing window-exact re-delivery
+            jw = self._journal_windows()
+            for d in sorted(glob.glob(os.path.join(out_dir, "inc-*-*"))):
+                m = re.fullmatch(r"inc-(\d+)-(\d+)", os.path.basename(d))
+                if m and int(m.group(1)) not in jw:
+                    self._journal_append(int(m.group(1)), int(m.group(2)))
             # a crash between export and rename leaves _stage-* orphans
             # (readers only see inc-* dirs). Remove only STALE ones: a
             # supervisor may restart the follower while the old process is

@@ -317,3 +317,57 @@ def test_ivf_index_persist_matches_inline(spark, tmp_path):
     got8 = re.search(queries, k=10, n_probe=8)
     want8 = sim.ivf_topk(queries, emb, k=10, n_cells=8, n_probe=8)
     assert {tuple(r) for r in got8.collect()} == {tuple(r) for r in want8.collect()}
+
+
+def test_ivf_index_append_compact_retrain(spark, tmp_path):
+    """Incremental IVF maintenance: append indexes new vectors against the
+    EXISTING centroids as a merge-on-read delta dir (no base rewrite);
+    search unions base+deltas and finds the appended vectors; the result
+    equals assigning the whole corpus to the same centroids in one build;
+    compact_deltas folds deltas into a new base bit-identically; and
+    needs_retrain trips once the untrained share crosses the threshold."""
+    import os
+
+    emb = _embeddings(spark)
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "ivf")
+
+    idx = sim.IvfIndex.build(old, path, n_cells=8)
+    assert not idx.needs_retrain()
+    rep = idx.append(new)
+    assert rep["n_deltas"] == 1
+    assert os.path.isdir(os.path.join(path, rep["delta"]))
+
+    got = idx.search(queries, k=10, n_probe=8)
+    want_rows = {tuple(r) for r in got.collect()}
+    assert any(r for r in want_rows), "search returns results"
+    # all-cells probe over base+delta == exact brute force over the UNION
+    # corpus: the append made the index complete, not just larger
+    exact = sim.brute_force_topk(queries, emb, k=10)
+    assert sim.recall_at_k(got, exact, k=10) == 1.0
+    appended_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    assert {r[1] for r in want_rows} & appended_ids, \
+        "appended vectors are discoverable as neighbors"
+
+    # a reloaded index sees the delta (meta persisted atomically)
+    re = sim.IvfIndex.load(path)
+    assert re.meta["deltas"] == [rep["delta"]]
+    got2 = {tuple(r) for r in re.search(queries, k=10, n_probe=8).collect()}
+    assert got2 == want_rows
+
+    # 50/50 split: appended share == 0.5 > 0.4 threshold, <= 0.6 not
+    assert re.needs_retrain(max_delta_fraction=0.4)
+    assert not re.needs_retrain(max_delta_fraction=0.6)
+
+    # compaction: results bit-identical, deltas gone, one new base
+    crep = re.compact_deltas()
+    assert crep["compacted"] and re.meta["deltas"] == []
+    assert os.path.isdir(os.path.join(path, crep["invfile"]))
+    assert not os.path.isdir(os.path.join(path, "invfile")), "old base retired"
+    got3 = {tuple(r) for r in re.search(queries, k=10, n_probe=8).collect()}
+    assert got3 == want_rows
+    assert not re.needs_retrain(max_delta_fraction=0.0), "no deltas left"
+    # idempotent no-op on an already-compacted index
+    assert re.compact_deltas()["compacted"] is False

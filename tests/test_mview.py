@@ -136,3 +136,55 @@ def test_custom_aggregates_and_mv_time_travel(spark, tmp_path):
     then = {r["conv_id"]: (r["n_user"], r["longest"])
             for r in mv.read(version=v1).collect()}
     assert then == {"cA": (1, 2)}, "the MV is itself time-travelable"
+
+
+def test_refresh_many_shares_one_scan(spark, tmp_path):
+    """Two views over one source refresh from ONE change scan + ONE pruned
+    read; both equal their individually-refreshed twins."""
+    from hierarchical_to_relational_spark.operators.mview import refresh_many
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    v_default = ConvAggregateView(spark, pipe.table, str(tmp_path / "mv1"))
+    v_custom = ConvAggregateView(
+        spark, pipe.table, str(tmp_path / "mv2"),
+        aggs={"longest": F.max(F.length("text"))})
+
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None)]),
+        (2, "insert", "cB", [(0, "user", "b-longer", None)]),
+    ]), "b0")
+    r = refresh_many([v_default, v_custom])
+    assert [x["mode"] for x in r] == ["full", "full"], "first build each"
+
+    pipe.apply_batch(_env_rows(spark, [
+        (3, "update", "cB", [(1, "assistant", "reply", None)]),
+        (4, "delete", "cA", None),
+    ]), "b1")
+    r = refresh_many([v_default, v_custom])
+    assert all(x["mode"] == "incremental" and x["shared_scan"] for x in r)
+    assert _mv_state(v_default) == _recompute(spark, pipe.table)
+    assert ({row["conv_id"]: row["longest"] for row in v_custom.read().collect()}
+            == {"cB": len("b-longer")})
+
+    # idle: both no-op, cursors advance nowhere new
+    r = refresh_many([v_default, v_custom])
+    assert [x["mode"] for x in r] == ["noop", "noop"]
+
+    # a straggler view (older cursor) joins a shared refresh: superset
+    # window recompute is still exact
+    v_late = ConvAggregateView(spark, pipe.table, str(tmp_path / "mv3"))
+    v_late.full_refresh()
+    pipe.apply_batch(_env_rows(spark, [
+        (5, "insert", "cC", [(0, "user", "c0", None)]),
+    ]), "b2")
+    pipe.apply_batch(_env_rows(spark, [
+        (6, "update", "cC", [(1, "tool", "t", None)]),
+    ]), "b3")
+    v_default.refresh()  # ahead
+    pipe.apply_batch(_env_rows(spark, [
+        (7, "insert", "cD", [(0, "user", "d0", None)]),
+    ]), "b4")
+    r = refresh_many([v_default, v_late])
+    assert all(x["mode"] == "incremental" for x in r)
+    assert _mv_state(v_default) == _mv_state(v_late) == _recompute(spark, pipe.table)
