@@ -79,6 +79,7 @@ class ConvAggregateView:
         aggs: dict[str, Column] | None = None,
         n_buckets: int = 16,
         key_set_threshold: int = 10_000,
+        window_col: Column | None = None,
     ):
         """``aggs``: output column name → aggregate expression over the
         source's RESOLVED user rows, grouped by ``conv_id``. Declared
@@ -87,13 +88,26 @@ class ConvAggregateView:
         up to which phase 2 uses the driver-pruned batched lookup (a
         bounded collect of conv_ids, same contract as
         ``lookup_conversations``); above it, one semi-join scan — the
-        window is so wide that pruning would not pay."""
+        window is so wide that pruning would not pay.
+
+        ``window_col``: optional INT expression over the source rows
+        (e.g. ``F.datediff(F.col("ts"), F.lit("1970-01-01"))`` for daily
+        rollups) that turns the view into an EVENT-TIME WINDOWED
+        aggregate: one MV row per (conv_id, window) instead of per
+        conversation. Refresh granularity stays the conversation — a
+        changed conversation's windows are rewritten delete-then-readd
+        (a conversation-level tombstone at the refresh's odd LSN, the
+        current windows re-added at the even LSN above it), so windows a
+        change VACATED disappear exactly. The window value lands in the
+        MV's ``turn_idx`` key column and is surfaced as ``window_id`` by
+        ``read()``."""
         self.spark = spark
         self.source = source
         self.root = root
         self.aggs = aggs if aggs is not None else default_aggs()
         self.n_buckets = n_buckets
         self.key_set_threshold = key_set_threshold
+        self.window_col = window_col
         self.table: SnapshotTable | None = (
             SnapshotTable(root) if SnapshotTable.exists(root) else None
         )
@@ -119,7 +133,11 @@ class ConvAggregateView:
 
     # -- refresh ---------------------------------------------------------
     def _agg_df(self, rows: DataFrame) -> DataFrame:
-        return rows.groupBy("conv_id").agg(
+        keys = ["conv_id"]
+        if self.window_col is not None:
+            rows = rows.withColumn("_w", self.window_col.cast("int"))
+            keys.append("_w")
+        return rows.groupBy(*keys).agg(
             *[c.alias(n) for n, c in self.aggs.items()]
         )
 
@@ -129,7 +147,8 @@ class ConvAggregateView:
             fields = [T.StructField("conv_id", key_f.dataType, False),
                       T.StructField("turn_idx", T.IntegerType(), True)]
             fields += [T.StructField(f.name, f.dataType, True)
-                       for f in agg.schema.fields if f.name != "conv_id"]
+                       for f in agg.schema.fields
+                       if f.name not in ("conv_id", "_w")]  # _w IS turn_idx
             self.table = SnapshotTable.create(
                 self.root, table_schema_for(fields), self.n_buckets
             )
@@ -137,15 +156,24 @@ class ConvAggregateView:
 
     def _apply(self, agg: DataFrame, dead: DataFrame, v_now: int,
                batch_id: str) -> dict:
+        """Commit one refresh: a conversation-level TOMBSTONE for every
+        touched conversation at LSN ``2·v_now − 1``, its current
+        aggregate rows re-added at ``2·v_now``. Delete-then-readd is
+        what makes windowed views exact — a window the change vacated
+        has no re-add and dies with the tombstone — and the odd/even
+        LSN split keeps the same-refresh re-add strictly above its own
+        tombstone while staying monotone across refreshes (LWW resolves
+        any replay order to the same state)."""
         table = self._ensure_table(agg)
+        win = self.window_col is not None
         ups = agg.select(
             "conv_id",
-            F.lit(0).alias("turn_idx"),
+            (F.col("_w") if win else F.lit(0)).alias("turn_idx"),
             *[F.col(n) for n in self.aggs],
-            F.lit(v_now).alias(META_LSN),
+            F.lit(2 * v_now).alias(META_LSN),
             F.current_timestamp().alias(META_TS),
         )
-        dels = dead.select("conv_id", F.lit(v_now).alias(META_LSN))
+        dels = dead.select("conv_id", F.lit(2 * v_now - 1).alias(META_LSN))
         rep = apply_cdc_batch(self.spark, table, ups, dels,
                               batch_id=batch_id, mode="mor")
         rep["commit_mode"] = rep.pop("mode")
@@ -187,24 +215,26 @@ class ConvAggregateView:
                 self.spark, self.source, version=v_now
             ).join(affected, "conv_id", "semi")
         agg = self._agg_df(current)
-        # touched conversations with no surviving rows → MV tombstones
-        dead = affected.join(agg.select("conv_id"), "conv_id", "anti")
-        rep = self._apply(agg, dead, v_now, f"mview::{cur}->{v_now}")
+        # every touched conversation is tombstoned-then-readded (_apply);
+        # vanished ones simply have no re-add
+        rep = self._apply(agg, affected, v_now, f"mview::{cur}->{v_now}")
         return {"mode": "incremental", "from": cur, "to": v_now,
                 "changed_convs": len(ids) if len(ids) <= self.key_set_threshold
                 else affected.count(), **rep}
 
     def full_refresh(self) -> dict:
         """Aggregate the whole resolved source state (first build, or
-        expired-cursor fallback) and reconcile the MV against it —
-        including deleting MV rows for conversations that vanished while
-        the cursor was lost."""
+        expired-cursor fallback) and reconcile the MV against it: every
+        conversation currently IN the view is tombstoned and the fresh
+        aggregates re-added above the tombstone — stale rows (vanished
+        conversations, vacated windows) die, surviving ones are simply
+        overwritten."""
         v_now = self.source.current_version()
         rows = read_transcripts(self.spark, self.source, version=v_now)
         agg = self._agg_df(rows)
         if self.table is not None:
-            mv_now = read_transcripts(self.spark, self.table).select("conv_id")
-            dead = mv_now.join(agg.select("conv_id"), "conv_id", "anti")
+            dead = read_transcripts(self.spark, self.table) \
+                .select("conv_id").distinct()
         else:
             dead = agg.select("conv_id").limit(0)
         rep = self._apply(agg, dead, v_now, f"mview::full->{v_now}")
@@ -220,18 +250,21 @@ class ConvAggregateView:
         recomputing an untouched conversation is idempotent under LWW,
         never wrong)."""
         agg = self._agg_df(current)
-        dead = affected.join(agg.select("conv_id"), "conv_id", "anti")
-        rep = self._apply(agg, dead, v_now, f"mview::{since}->{v_now}")
+        rep = self._apply(agg, affected, v_now, f"mview::{since}->{v_now}")
         return {"mode": "incremental", "from": since, "to": v_now, **rep}
 
     # -- read ------------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
-        """The materialized aggregate: one row per live conversation
-        (``version`` = MV time travel)."""
+        """The materialized aggregate: one row per live conversation —
+        or per (conversation, window) for windowed views, with the
+        window surfaced as ``window_id`` (``version`` = MV time
+        travel)."""
         if self.table is None:
             raise ValueError("view has never been refreshed")
-        return read_transcripts(self.spark, self.table,
-                                version=version).drop("turn_idx")
+        df = read_transcripts(self.spark, self.table, version=version)
+        if self.window_col is not None:
+            return df.withColumnRenamed("turn_idx", "window_id")
+        return df.drop("turn_idx")
 
 
 def refresh_many(views: list[ConvAggregateView]) -> list[dict]:

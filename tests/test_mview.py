@@ -188,3 +188,75 @@ def test_refresh_many_shares_one_scan(spark, tmp_path):
     r = refresh_many([v_default, v_late])
     assert all(x["mode"] == "incremental" for x in r)
     assert _mv_state(v_default) == _mv_state(v_late) == _recompute(spark, pipe.table)
+
+
+def test_windowed_view_daily_rollup_delete_then_readd(spark, tmp_path):
+    """window_col turns the view into an event-time rollup: one row per
+    (conv_id, window). A change that moves turns OUT of a window must
+    vacate that window's row (delete-then-readd semantics) — the classic
+    incremental-maintenance hazard delta-apply schemes get wrong."""
+    import datetime
+
+    from hierarchical_to_relational_spark.operators.mview import refresh_many
+    from hierarchical_to_relational_spark.sources.binlog import envelope_schema
+
+    def _env_rows_ts(spark, rows):
+        # like test_cdc._env_rows, but each turn carries its own event ts
+        commit = datetime.datetime(2026, 1, 1)
+        data = [
+            (lsn, commit, op, cid,
+             None if turns is None else {"turns": [
+                 {"turn_idx": i, "role": r, "text": t, "tool": tool, "ts": tts}
+                 for (i, r, t, tool, tts) in turns
+             ]})
+            for (lsn, op, cid, turns) in rows
+        ]
+        return spark.createDataFrame(data, envelope_schema())
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    mv = ConvAggregateView(
+        spark, pipe.table, str(tmp_path / "mv"),
+        aggs={"n_turns": F.count(F.lit(1))},
+        window_col=F.datediff(F.col("ts"), F.lit("1970-01-01")),
+    )
+    d1 = datetime.datetime(2026, 1, 1, 10)
+    d2 = datetime.datetime(2026, 1, 2, 10)
+    w1 = (d1.date() - datetime.date(1970, 1, 1)).days
+    w2 = (d2.date() - datetime.date(1970, 1, 1)).days
+    pipe.apply_batch(_env_rows_ts(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None, d1),
+                             (1, "assistant", "a1", None, d1),
+                             (2, "user", "a2", None, d2)]),
+    ]), "b0")
+    mv.refresh()
+    rows = {(r["conv_id"], r["window_id"]): r["n_turns"] for r in mv.read().collect()}
+    assert rows == {("cA", w1): 2, ("cA", w2): 1}
+
+    # the day-2 turn moves to day 1: window w2 must VANISH, w1 grows
+    pipe.apply_batch(_env_rows_ts(spark, [
+        (2, "update", "cA", [(2, "user", "a2-moved", None, d1)]),
+    ]), "b1")
+    rep = mv.refresh()
+    assert rep["mode"] == "incremental"
+    rows = {(r["conv_id"], r["window_id"]): r["n_turns"] for r in mv.read().collect()}
+    assert rows == {("cA", w1): 3}, "vacated window deleted, not orphaned"
+
+    # windowed + plain views share one scan in refresh_many
+    plain = ConvAggregateView(spark, pipe.table, str(tmp_path / "mvp"),
+                              aggs={"n_turns": F.count(F.lit(1))})
+    pipe.apply_batch(_env_rows_ts(spark, [
+        (3, "insert", "cB", [(0, "user", "b0", None, d2)]),
+    ]), "b2")
+    reps = refresh_many([mv, plain])
+    assert reps[0]["mode"] == "incremental" and reps[1]["mode"] == "full"
+    rows = {(r["conv_id"], r["window_id"]): r["n_turns"] for r in mv.read().collect()}
+    assert rows == {("cA", w1): 3, ("cB", w2): 1}
+    assert ({r["conv_id"]: r["n_turns"] for r in plain.read().collect()}
+            == {"cA": 3, "cB": 1})
+
+    # delete the conversation: every one of its windows dies
+    pipe.apply_batch(_env_rows_ts(spark, [(4, "delete", "cA", None)]), "b3")
+    refresh_many([mv, plain])
+    rows = {(r["conv_id"], r["window_id"]): r["n_turns"] for r in mv.read().collect()}
+    assert rows == {("cB", w2): 1}
