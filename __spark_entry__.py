@@ -470,6 +470,31 @@ def q_cdc_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "n_turns", "last_ts", "n_roles", "chars")
 
 
+def q_cdc_windowed_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME WINDOWED materialized view: one row per (conv_id, day),
+    maintained incrementally across the replay batches with
+    delete-then-readd refreshes (a turn UPDATE that moves event time
+    across a day boundary must vacate the old day's row — the hazard
+    delta-apply schemes get wrong). Final view must hash-match the DuckDB
+    GROUP BY (conv_id, day) of the final LWW state."""
+    from hierarchical_to_relational_spark.operators.mview import ConvAggregateView
+
+    holder: dict = {}
+
+    def _after(table, b):
+        if "mv" not in holder:
+            holder["mv"] = ConvAggregateView(
+                spark, table, tempfile.mkdtemp(prefix="h2r-wmv-"),
+                aggs={"n_turns": F.count(F.lit(1)),
+                      "chars": F.sum(F.length("text"))},
+                window_col=F.datediff(F.col("ts"), F.lit("1970-01-01")),
+            )
+        holder["mv"].refresh()
+
+    _cdc_table(spark, sf_dir, after_batch=_after)
+    return holder["mv"].read().select("conv_id", "window_id", "n_turns", "chars")
+
+
 def q_cdc_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mid-stream int→long type widening: batches 0-1 carry a turn column
     ``score`` as INT (lsn % 100); batch 2 carries it as LONG with values
@@ -607,6 +632,16 @@ _CDC_MVIEW_ORACLE = f"""
            count(DISTINCT "role") AS n_roles,
            CAST(sum(length("text")) AS BIGINT) AS chars
     FROM state GROUP BY conv_id
+"""
+
+_CDC_WINDOWED_MVIEW_ORACLE = f"""
+    WITH state AS ({_CDC_REPLAY_ORACLE})
+    SELECT conv_id,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS INTEGER) AS window_id,
+           count(*) AS n_turns,
+           CAST(sum(length("text")) AS BIGINT) AS chars
+    FROM state GROUP BY conv_id, window_id
 """
 
 
@@ -1158,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_eq_probe": q_cdc_eq_probe,
         "cdc_maintain": q_cdc_maintain,
         "cdc_mview": q_cdc_mview,
+        "cdc_windowed_mview": q_cdc_windowed_mview,
         "cdc_widening": q_cdc_widening,
         "agg_pricing": q_agg_pricing,
         "shipping_priority": q_shipping_priority,
@@ -1316,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
         # maintenance is state-preserving ⇒ same oracle as cdc_replay
         "cdc_maintain": _CDC_REPLAY_ORACLE,
         "cdc_mview": _CDC_MVIEW_ORACLE,
+        "cdc_windowed_mview": _CDC_WINDOWED_MVIEW_ORACLE,
         "cdc_widening": _CDC_WIDENING_ORACLE,
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,
