@@ -25,6 +25,9 @@ Actions:
              driver-side bucket hashing + per-key file pruning)
   scan-range value-range query on any scalar column through the non-key
              sidecar bounds (two-phase, LWW-resolution-safe)
+  mview      refresh an incremental materialized aggregate view (default
+             per-conversation profile; --window-days for per-(conv, day)
+             event-time rollups; --full to force a rebuild)
   history    print the snapshot log
   status     print current version / bucket spec / delta depth+bytes /
              lineage monitoring summary
@@ -131,6 +134,18 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--hi", default=None)
     sr.add_argument("--out", default=None)
 
+    mv = sub.add_parser("mview")
+    mv.add_argument("--root", required=True,
+                    help="materialized-view directory (created on first "
+                         "refresh; default per-conversation aggregate "
+                         "profile — programmatic callers pass custom aggs "
+                         "via operators.mview.ConvAggregateView)")
+    mv.add_argument("--window-days", action="store_true",
+                    help="event-time daily rollup: one row per "
+                         "(conv_id, day) instead of per conversation")
+    mv.add_argument("--full", action="store_true",
+                    help="force a full rebuild instead of incremental")
+
     sub.add_parser("history")
     sub.add_parser("status")
     args = p.parse_args(argv)
@@ -164,6 +179,28 @@ def main(argv: list[str] | None = None) -> int:
     else:
         spark = SparkSession.builder.appName(f"h2r-maintenance-{args.action}").getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
+        if args.action == "mview":
+            import pyspark.sql.functions as _F
+
+            from hierarchical_to_relational_spark.operators.mview import (
+                ConvAggregateView,
+                default_aggs,
+            )
+
+            view = ConvAggregateView(
+                spark, table, args.root,
+                aggs=({"n_turns": _F.count(_F.lit(1)),
+                       "chars": _F.sum(_F.length("text"))}
+                      if args.window_days else default_aggs()),
+                window_col=(_F.datediff(_F.col("ts"), _F.lit("1970-01-01"))
+                            if args.window_days else None),
+            )
+            rep = view.full_refresh() if args.full else view.refresh()
+            out = {k: rep.get(k) for k in
+                   ("mode", "from", "to", "changed_convs", "committed")}
+            out["mv_version"] = view.table.current_version() if view.table else None
+            print(json.dumps(out, default=str))
+            return 0
         if args.action == "changes":
             from hierarchical_to_relational_spark.operators.merge import changes_since
 

@@ -254,3 +254,52 @@ def test_maintain_cycle_action(spark, tmp_path, capsys, table):
     pd.testing.assert_frame_equal(got.astype({"turn_idx": "int64"}),
                                   want.astype({"turn_idx": "int64"}), check_dtype=False)
     assert mg.maintain_cycle is not None  # imported surface
+
+
+def test_mview_action(spark, tmp_path, capsys, table):
+    """The mview CLI action: first call builds, second is a noop (no new
+    commits), after more ingest it refreshes incrementally; the windowed
+    variant maintains a daily rollup at its own root; both views equal
+    from-scratch recomputes."""
+    root, events = table
+    mv_root = str(tmp_path / "mv")
+    r1 = _run(capsys, "--table", root, "mview", "--root", mv_root)
+    assert r1["mode"] == "full" and r1["mv_version"] is not None
+    r2 = _run(capsys, "--table", root, "mview", "--root", mv_root)
+    assert r2["mode"] == "noop"
+
+    from hierarchical_to_relational_spark.operators.mview import ConvAggregateView
+    from hierarchical_to_relational_spark.operators.merge import apply_cdc_batch
+    from tests.test_cdc import _env_rows
+    from hierarchical_to_relational_spark.operators.normalize import normalize_envelopes
+
+    ups, dels = normalize_envelopes(_env_rows(spark, [
+        (10_000, "insert", "cli-added", [(0, "user", "x", None)]),
+    ]), text_mode="none")
+    apply_cdc_batch(spark, SnapshotTable(root), ups, dels, batch_id="extra")
+    r3 = _run(capsys, "--table", root, "mview", "--root", mv_root)
+    assert r3["mode"] == "incremental" and r3["changed_convs"] == 1
+
+    view = ConvAggregateView(spark, SnapshotTable(root), mv_root)
+    got = {r["conv_id"]: r["n_turns"] for r in view.read().collect()}
+    want = {r["conv_id"]: r["n_turns"] for r in
+            read_transcripts(spark, SnapshotTable(root))
+            .groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns")).collect()}
+    assert got == want and "cli-added" in got
+
+    w = _run(capsys, "--table", root, "mview", "--root", str(tmp_path / "wmv"),
+             "--window-days")
+    assert w["mode"] == "full"
+    wview = ConvAggregateView(
+        spark, SnapshotTable(root), str(tmp_path / "wmv"),
+        aggs={"n_turns": F.count(F.lit(1)),
+              "chars": F.sum(F.length("text"))},
+        window_col=F.datediff(F.col("ts"), F.lit("1970-01-01")))
+    wgot = {(r["conv_id"], r["window_id"]): r["n_turns"]
+            for r in wview.read().collect()}
+    wwant = {(r["conv_id"], r["w"]): r["n_turns"] for r in
+             read_transcripts(spark, SnapshotTable(root))
+             .groupBy("conv_id",
+                      F.datediff(F.col("ts"), F.lit("1970-01-01")).alias("w"))
+             .agg(F.count(F.lit(1)).alias("n_turns")).collect()}
+    assert wgot == wwant
