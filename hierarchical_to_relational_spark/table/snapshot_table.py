@@ -410,6 +410,60 @@ class SnapshotTable:
         finally:
             os.unlink(tmp)
 
+    # ---------- named refs (Iceberg-style tags) ----------
+
+    def _refs_path(self) -> str:
+        return os.path.join(self._snap_dir, "refs.json")
+
+    def refs(self) -> dict[str, int]:
+        """{name: version} of every named snapshot ref (tag)."""
+        try:
+            with open(self._refs_path()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        tmp = f"{self._refs_path()}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._refs_path())
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a NAME to a snapshot version (Iceberg tag): ``expire_
+        snapshots`` never expires a tagged version, so the name stays
+        time-travelable forever — the audit/compliance/"prod release"
+        pointer a retention window would otherwise age out. Re-tagging
+        an existing name moves it (the previous target re-enters the
+        normal retention stream). Tags are maintenance metadata: like
+        the ledger, prefer a single maintenance writer (two concurrent
+        taggers last-write-win the whole file)."""
+        v = self.current_version() if version is None else version
+        if v is None or not os.path.exists(self._snapshot_path(v)):
+            raise FileNotFoundError(f"cannot tag {name!r}: no retained snapshot v{v}")
+        refs = self.refs()
+        refs[name] = v
+        self._write_refs(refs)
+        return v
+
+    def drop_tag(self, name: str) -> bool:
+        refs = self.refs()
+        if name not in refs:
+            return False
+        del refs[name]
+        self._write_refs(refs)
+        return True
+
+    def ref(self, name: str) -> int:
+        """Resolve a tag to its version (compose with ``read(version=
+        table.ref("prod"))`` / ``read_transcripts(..., version=...)``)."""
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"unknown ref {name!r}; known: {sorted(refs)}")
+        return refs[name]
+
     # ---------- metadata ----------
 
     def schema(self, version: int | None = None) -> T.StructType:
@@ -1595,6 +1649,13 @@ class SnapshotTable:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
         to_expire = versions[:-retain_last]
+        # named refs (tags) are retention-exempt: a tagged version's
+        # snapshot survives ANY count/age window, and because it stays in
+        # `survivors` its data dirs stay referenced — the orphan sweep
+        # below never touches them
+        tagged = set(self.refs().values())
+        if tagged:
+            to_expire = [v for v in to_expire if v not in tagged]
         if older_than_s is not None:
             # Iceberg expire_snapshots(older_than=...): age is a further
             # RESTRICTION on what the count window would expire — young

@@ -28,6 +28,9 @@ Actions:
   mview      refresh an incremental materialized aggregate view (default
              per-conversation profile; --window-days for per-(conv, day)
              event-time rollups; --full to force a rebuild)
+  tag        pin a NAME to a snapshot version — tagged versions are
+             exempt from expiration (audit/release pointers)
+  drop-tag   remove a named ref (the version re-enters normal retention)
   history    print the snapshot log
   status     print current version / bucket spec / delta depth+bytes /
              lineage monitoring summary
@@ -146,6 +149,14 @@ def main(argv: list[str] | None = None) -> int:
     mv.add_argument("--full", action="store_true",
                     help="force a full rebuild instead of incremental")
 
+    tg = sub.add_parser("tag")
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--version", type=int, default=None,
+                    help="snapshot version to pin (default: current). "
+                         "Tagged versions are exempt from expiration.")
+    dt = sub.add_parser("drop-tag")
+    dt.add_argument("--name", required=True)
+
     sub.add_parser("history")
     sub.add_parser("status")
     args = p.parse_args(argv)
@@ -167,8 +178,13 @@ def main(argv: list[str] | None = None) -> int:
             "n_buckets": table.n_buckets,
             "delta_depth": table.delta_depth(),
             "delta_bytes_max_bucket": table.delta_bytes(),
+            "refs": table.refs(),
             "monitoring": LineageStore(args.table).monitoring_summary(),
         }
+    elif args.action == "tag":
+        out = {"name": args.name, "version": table.tag(args.name, args.version)}
+    elif args.action == "drop-tag":
+        out = {"name": args.name, "dropped": table.drop_tag(args.name)}
     elif args.action == "expire":
         out = table.expire_snapshots(
             retain_last=args.retain_last,

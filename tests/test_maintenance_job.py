@@ -303,3 +303,16 @@ def test_mview_action(spark, tmp_path, capsys, table):
                       F.datediff(F.col("ts"), F.lit("1970-01-01")).alias("w"))
              .agg(F.count(F.lit(1)).alias("n_turns")).collect()}
     assert wgot == wwant
+
+
+def test_tag_actions(spark, tmp_path, capsys, table):
+    root, _ = table
+    tg = _run(capsys, "--table", root, "tag", "--name", "prod")
+    st = _run(capsys, "--table", root, "status")
+    assert st["refs"] == {"prod": tg["version"]}
+    ex = _run(capsys, "--table", root, "expire", "--retain-last", "1",
+              "--orphan-grace-s", "0")
+    assert ex["expired_snapshots"] >= 0
+    assert tg["version"] in SnapshotTable(root)._versions()
+    dr = _run(capsys, "--table", root, "drop-tag", "--name", "prod")
+    assert dr["dropped"] is True

@@ -1279,3 +1279,65 @@ def test_bloom_sidecar_spark_build_bit_identical(spark, tmp_path):
                  .where(F.col("text") == probe)
                  .select("conv_id", "text").collect()}
                 == {("c13", probe)})
+
+
+def test_tagged_snapshot_survives_expiration(spark, tmp_path):
+    """Named refs (Iceberg-style tags): a tagged version outlives ANY
+    retention window — snapshot file retained, data dirs protected from
+    the orphan sweep, still time-travelable by name; dropping the tag
+    returns it to normal retention."""
+    import pytest as _pytest
+
+    from hierarchical_to_relational_spark.operators.merge import (
+        apply_cdc_batch,
+        read_transcripts,
+        table_schema_for,
+    )
+    from hierarchical_to_relational_spark.operators.normalize import (
+        normalize_envelopes,
+    )
+    from tests.test_cdc import _env_rows
+
+    cols = [T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), True),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True)]
+    t = SnapshotTable.create(str(tmp_path / "t"), table_schema_for(cols), 2)
+
+    def _apply(lsn, op, cid, turns, bid):
+        u, d = normalize_envelopes(_env_rows(spark, [(lsn, op, cid, turns)]),
+                                   text_mode="none")
+        apply_cdc_batch(spark, t, u, d, batch_id=bid)
+
+    _apply(1, "insert", "cA", [(0, "user", "a0", None)], "b0")
+    v_tagged = t.tag("audit-2026q1")
+    assert t.ref("audit-2026q1") == v_tagged == t.current_version()
+    tagged_state = {(r["conv_id"], r["turn_idx"]): r["text"]
+                    for r in read_transcripts(spark, t, version=v_tagged).collect()}
+
+    for i in range(4):
+        _apply(10 + i, "update", "cA", [(0, "user", f"a{i+1}", None)], f"b{i+1}")
+    rep = t.expire_snapshots(retain_last=1, orphan_grace_seconds=0.0)
+    assert rep["expired_snapshots"] > 0
+
+    # the tagged version is still there and still reads EXACTLY its state
+    assert v_tagged in t._versions(), "tag exempted the version from expiry"
+    again = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in read_transcripts(spark, t, version=t.ref("audit-2026q1")).collect()}
+    assert again == tagged_state == {("cA", 0): "a0"}
+    # ...while untagged old versions between tag and head are gone
+    assert len(t._versions()) == 2  # the tag + the current head
+
+    # re-tag moves the name; drop returns the version to retention
+    t.tag("audit-2026q1")  # now points at head
+    assert t.ref("audit-2026q1") == t.current_version()
+    t.expire_snapshots(retain_last=1, orphan_grace_seconds=0.0)
+    assert v_tagged not in t._versions(), "old target re-entered retention and aged out"
+    assert t.drop_tag("audit-2026q1") is True
+    assert t.drop_tag("audit-2026q1") is False
+    with _pytest.raises(KeyError):
+        t.ref("audit-2026q1")
+    with _pytest.raises(FileNotFoundError):
+        t.tag("bogus", version=9999)
