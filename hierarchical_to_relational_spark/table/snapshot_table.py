@@ -386,8 +386,13 @@ class SnapshotTable:
             )
         return best
 
-    def snapshot(self, version: int | None = None) -> dict:
-        v = self.current_version() if version is None else version
+    def snapshot(self, version: int | str | None = None) -> dict:
+        # a str version is a named ref: every version-taking surface
+        # (read, schema, read_transcripts, time travel) accepts a tag
+        # name through this one resolver
+        v = self.ref(version) if isinstance(version, str) else version
+        if v is None:
+            v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
         with open(self._snapshot_path(v)) as f:

@@ -1341,3 +1341,36 @@ def test_tagged_snapshot_survives_expiration(spark, tmp_path):
         t.ref("audit-2026q1")
     with _pytest.raises(FileNotFoundError):
         t.tag("bogus", version=9999)
+
+
+def test_read_by_tag_name(spark, tmp_path):
+    """Every version-taking surface accepts a tag NAME (resolved in
+    snapshot(), the single resolver)."""
+    from hierarchical_to_relational_spark.operators.merge import (
+        apply_cdc_batch,
+        read_transcripts,
+        table_schema_for,
+    )
+    from hierarchical_to_relational_spark.operators.normalize import (
+        normalize_envelopes,
+    )
+    from tests.test_cdc import _env_rows
+
+    cols = [T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), True),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True)]
+    t = SnapshotTable.create(str(tmp_path / "t"), table_schema_for(cols), 2)
+    u, d = normalize_envelopes(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "v1", None)])]), text_mode="none")
+    apply_cdc_batch(spark, t, u, d, batch_id="b0")
+    t.tag("prod")
+    u, d = normalize_envelopes(_env_rows(spark, [
+        (2, "update", "cA", [(0, "user", "v2", None)])]), text_mode="none")
+    apply_cdc_batch(spark, t, u, d, batch_id="b1")
+
+    assert [r["text"] for r in read_transcripts(spark, t, version="prod").collect()] == ["v1"]
+    assert [r["text"] for r in read_transcripts(spark, t).collect()] == ["v2"]
+    assert t.schema("prod") == t.schema()
