@@ -396,11 +396,14 @@ def q_cdc_eq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cdc_table(spark: SparkSession, sf_dir: str, n_batches: int = 3,
-               index_cols: list | None = None, after_batch=None):
+               index_cols: list | None = None, after_batch=None,
+               last_batch: str = "main"):
     """The _run_cdc replay, returning the TABLE (for queries that read it
     in a non-default way). ``after_batch(table, b)`` runs between batches
     — the hook incremental consumers (materialized views) use to observe
-    every intermediate version."""
+    every intermediate version. ``last_batch="split"`` stages the final
+    batch's odd LSNs on a writable BRANCH (even LSNs stay on main) and
+    merges it back — the branch delta-union merge path."""
     env = _mk_envelopes(_t(spark, sf_dir, "events"))
     root = tempfile.mkdtemp(prefix="h2r-cdc-t-")
     turn_cols = [
@@ -415,6 +418,20 @@ def _cdc_table(spark: SparkSession, sf_dir: str, n_batches: int = 3,
                                  index_cols=index_cols)
     for b in range(n_batches):
         batch = env.where(F.col("lsn") % n_batches == b)
+        if last_batch == "split" and b == n_batches - 1:
+            br = table.create_branch("stage")
+            for ref, parity in ((table, 0), (br, 1)):
+                if parity == 1:
+                    v_main = table.current_version()
+                ups, dels = normalize_envelopes(
+                    batch.where(F.col("lsn") % 2 == parity), text_mode="none")
+                apply_cdc_batch(spark, ref, ups, dels,
+                                batch_id=f"replay-{b}-p{parity}")
+            # isolation: the branch commit never moved main's log
+            assert table.current_version() == v_main
+            assert table.merge_branch("stage", batch_id=f"merge-{b}") is True
+            table.drop_branch("stage")
+            continue
         upserts, deletes = normalize_envelopes(batch, text_mode="none")
         apply_cdc_batch(spark, table, upserts, deletes, batch_id=f"replay-{b}")
         if after_batch is not None:
@@ -439,6 +456,23 @@ def q_cdc_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         expire_retain=2, orphan_grace_seconds=0.0,
     )
     assert rep["compacted_buckets"] or rep["packed_buckets"]
+    return read_transcripts(spark, table).select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    )
+
+
+def q_cdc_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writable branch refs (write-audit-publish), exercising the
+    three-way DELTA-UNION merge: batches 0-1 apply to main, the table is
+    forked, and batch 2 is SPLIT — even LSNs keep landing on main while
+    odd LSNs are staged on the branch. ``merge_branch`` then folds the
+    branch back in one atomic commit: both sides appended MoR deltas on
+    the fork's bucket dirs, so the merge unions them, and because LWW
+    resolution is order-insensitive the merged read must hash-match the
+    same independent DuckDB oracle as cdc_replay — exactly the state of
+    applying every event to one table. Branch isolation is asserted
+    mid-flight (main's version is untouched by the branch commit)."""
+    table = _cdc_table(spark, sf_dir, n_batches=3, last_batch="split")
     return read_transcripts(spark, table).select(
         "conv_id", "turn_idx", "role", "text", "ts"
     )
@@ -1192,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lookup_batch": q_cdc_lookup_batch,
         "cdc_eq_probe": q_cdc_eq_probe,
         "cdc_maintain": q_cdc_maintain,
+        "cdc_branch_merge": q_cdc_branch_merge,
         "cdc_mview": q_cdc_mview,
         "cdc_windowed_mview": q_cdc_windowed_mview,
         "cdc_widening": q_cdc_widening,
@@ -1351,6 +1386,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_eq_probe": _CDC_EQ_PROBE_ORACLE,
         # maintenance is state-preserving ⇒ same oracle as cdc_replay
         "cdc_maintain": _CDC_REPLAY_ORACLE,
+        # branch staging + delta-union merge is state-equivalent to
+        # applying every batch to one table (LWW is order-insensitive)
+        "cdc_branch_merge": _CDC_REPLAY_ORACLE,
         "cdc_mview": _CDC_MVIEW_ORACLE,
         "cdc_windowed_mview": _CDC_WINDOWED_MVIEW_ORACLE,
         "cdc_widening": _CDC_WIDENING_ORACLE,

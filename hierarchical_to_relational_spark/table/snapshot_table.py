@@ -214,6 +214,38 @@ def _cast_equivalent(a: T.DataType, b: T.DataType) -> bool:
     return pair == {"timestamp", "timestamp_ntz"}
 
 
+class BranchDivergedError(RuntimeError):
+    """A bucket (or the bucket spec / schema) changed incompatibly on BOTH
+    main and a branch since the fork — the bucket-granular three-way merge
+    cannot combine them without a re-resolve. Re-branch from current main
+    and re-apply, or resolve manually."""
+
+
+def _union_schema(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Field-wise union of two schemas that diverged from a common
+    ancestor under the evolution rules: common fields keep the WIDER type
+    (must be a lossless widening one way or the other), fields unique to
+    either side append nullable. Incompatible common fields raise."""
+    a_by = {f.name: f for f in a.fields}
+    out: list[T.StructField] = []
+    for f in a.fields:
+        g = next((x for x in b.fields if x.name == f.name), None)
+        if g is None or g.dataType == f.dataType:
+            out.append(f)
+        elif _widens(f.dataType, g.dataType):
+            out.append(T.StructField(f.name, g.dataType, f.nullable))
+        elif _widens(g.dataType, f.dataType) or _cast_equivalent(g.dataType, f.dataType):
+            out.append(f)
+        else:
+            raise ValueError(
+                f"cannot merge schemas: {f.name!r} is "
+                f"{f.dataType.simpleString()} vs {g.dataType.simpleString()}"
+            )
+    out += [T.StructField(g.name, g.dataType, True)
+            for g in b.fields if g.name not in a_by]
+    return T.StructType(out)
+
+
 class ConcurrentOverwriteError(RuntimeError):
     """A bucket this overwrite wants to replace was itself overwritten (or
     rewritten in a non-append way) since the base version the rewrite was
@@ -282,10 +314,24 @@ class CommittedIds:
         }
 
 
+BRANCHES_DIR = "branches"
+
+
 class SnapshotTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, branch: str | None = None):
+        """``branch``: attach to a named WRITABLE branch of the table —
+        its snapshot log lives under ``_snapshots/branches/<name>/`` while
+        DATA dirs are shared with main (commit dirs are uuid-named, so
+        writers on different refs never collide). Create branches with
+        ``create_branch``; a plain ``SnapshotTable(root)`` is the main
+        ref."""
         self.root = root
-        self._snap_dir = os.path.join(root, SNAPSHOT_DIR)
+        self.branch = branch
+        main_snap = os.path.join(root, SNAPSHOT_DIR)
+        self._snap_dir = (
+            main_snap if branch is None
+            else os.path.join(main_snap, BRANCHES_DIR, branch)
+        )
         self._data_dir = os.path.join(root, DATA_DIR)
         # incremental batch-id cache: (last version scanned, ids seen so far)
         self._ids_scanned_to: int = -1
@@ -468,6 +514,173 @@ class SnapshotTable:
         if name not in refs:
             raise KeyError(f"unknown ref {name!r}; known: {sorted(refs)}")
         return refs[name]
+
+    # ---------- writable branches (Iceberg-style branch refs) ----------
+    #
+    # A branch is an independent snapshot LOG (own versions, own ledger,
+    # own tags) forked from a main snapshot, sharing the data directory.
+    # Writes through a branch handle commit to the branch log only — main
+    # readers never see them — and ``merge_branch`` folds the branch back
+    # into main with a bucket-granular three-way merge:
+    #
+    # - bucket untouched on the branch → main's entry wins;
+    # - bucket untouched on main      → branch's entry adopted;
+    # - both sides APPENDED MoR deltas on the fork's dirs → the deltas
+    #   union (fork + main's + branch's): LWW resolution is
+    #   order-insensitive, so the union resolves to exactly the state of
+    #   applying both sides' batches to one table;
+    # - either side REWROTE the bucket (compaction/CoW/rollback) while
+    #   the other changed it at all → ``BranchDivergedError``: a rewrite
+    #   bakes one side's resolution in, the other side's rows cannot be
+    #   grafted under it without a re-resolve. Caller re-branches or
+    #   compacts after merging instead.
+    #
+    # This is the "write-audit-publish" workflow (Iceberg branch commits /
+    # Delta "shadow" tables): stage risky ingest on a branch, validate,
+    # merge atomically — with the merge itself an ordinary idempotent
+    # commit on main (kind="merge", diffable by changes_since like any
+    # append).
+
+    def _branches_root(self) -> str:
+        return os.path.join(os.path.join(self.root, SNAPSHOT_DIR), BRANCHES_DIR)
+
+    def _branch_meta_path(self) -> str:
+        return os.path.join(self._snap_dir, "_branch.json")
+
+    def branches(self) -> list[str]:
+        try:
+            return sorted(
+                d for d in os.listdir(self._branches_root())
+                if os.path.isdir(os.path.join(self._branches_root(), d))
+            )
+        except FileNotFoundError:
+            return []
+
+    def create_branch(self, name: str, from_version: int | str | None = None
+                      ) -> "SnapshotTable":
+        """Fork a writable branch at ``from_version`` (default: current;
+        tag names accepted). The fork snapshot is COPIED into the branch
+        log (so the branch's history starts retained even after main
+        expires that version — its data dirs stay GC-referenced through
+        the branch log), the fork's live map is pinned in ``_branch.json``
+        (the merge base), and main's committed batch-id set is seeded into
+        the branch ledger so exactly-once holds across the fork: a batch
+        already applied to main replays as a no-op on the branch too."""
+        if self.branch is not None:
+            raise ValueError("branch-off-branch is not supported; fork from main")
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(f"invalid branch name {name!r}")
+        v = self.ref(from_version) if isinstance(from_version, str) else from_version
+        if v is None:
+            v = self.current_version()
+        fork = self.snapshot(v)  # raises if expired/unknown
+        bdir = os.path.join(self._branches_root(), name)
+        try:
+            os.makedirs(bdir, exist_ok=False)
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        br = SnapshotTable(self.root, branch=name)
+        with open(br._branch_meta_path(), "w") as f:
+            json.dump({"name": name, "forked_from": v,
+                       "fork_live": fork["live"],
+                       "fork_n_buckets": fork["n_buckets"],
+                       "created_at": time.time()}, f)
+        # seed exactly-once: the branch inherits every id main had
+        # committed by fork time (ledger write, same bounded form)
+        ids = self.committed_batch_ids()
+        br._write_ledger(
+            CommittedIds(set(ids.ids), ids.numeric_floor), expired_through=None
+        )
+        br._write_snapshot({**fork, "branch": name})
+        return br
+
+    def branch_table(self, name: str) -> "SnapshotTable":
+        bdir = os.path.join(self._branches_root(), name)
+        if not os.path.isdir(bdir):
+            raise KeyError(f"unknown branch {name!r}; known: {self.branches()}")
+        return SnapshotTable(self.root, branch=name)
+
+    def drop_branch(self, name: str) -> bool:
+        """Delete a branch's snapshot log (metadata only). Data dirs only
+        the branch referenced become orphans and are collected by the next
+        ``expire_snapshots`` run after the grace window."""
+        bdir = os.path.join(self._branches_root(), name)
+        if not os.path.isdir(bdir):
+            return False
+        shutil.rmtree(bdir)
+        return True
+
+    def branch_meta(self, name: str | None = None) -> dict:
+        path = (self._branch_meta_path() if name is None
+                else os.path.join(self._branches_root(), name, "_branch.json"))
+        with open(path) as f:
+            return json.load(f)
+
+    def merge_branch(self, name: str, batch_id: str) -> bool:
+        """Fold branch ``name`` into main (see the section comment for the
+        three-way rule). One atomic idempotent commit on main; the branch
+        log is left intact (drop it separately once merged). Schemas merge
+        by field-wise union under the evolution rules — either side may
+        have added/widened columns. Bucket-spec divergence (a rebucket on
+        either side) is rejected."""
+        if self.branch is not None:
+            raise ValueError("merge_branch must be called on the main table")
+        if batch_id in self.committed_batch_ids():
+            return False
+        br = self.branch_table(name)
+        meta = br.branch_meta()
+        fork_live: dict[str, list[str]] = meta["fork_live"]
+        br_snap = br.snapshot()
+        br_schema = T.StructType.fromJson(json.loads(br_snap["schema"]))
+        if br_snap["n_buckets"] != meta["fork_n_buckets"]:
+            raise BranchDivergedError(
+                f"branch {name!r} was rebucketed since fork; merge manually")
+        schema = _union_schema(self.schema(), br_schema)
+        br_live = br_snap["live"]
+        br_bytes = br_snap.get("commit_bytes", {})
+
+        def update(live: dict) -> dict:
+            if self.snapshot()["n_buckets"] != meta["fork_n_buckets"]:
+                raise BranchDivergedError(
+                    f"main was rebucketed since branch {name!r} forked")
+            for b in set(live) | set(br_live):
+                fork_d = fork_live.get(b, [])
+                main_d = live.get(b, [])
+                bd = br_live.get(b, [])
+                if bd == fork_d:
+                    continue  # branch untouched → main wins
+                if main_d == fork_d:
+                    new = list(bd)  # main untouched → adopt branch
+                elif (main_d[: len(fork_d)] == fork_d
+                      and bd[: len(fork_d)] == fork_d):
+                    # both appended deltas: union them (LWW-commutative)
+                    new = main_d + bd[len(fork_d):]
+                else:
+                    raise BranchDivergedError(
+                        f"bucket {b} diverged non-append-wise between main "
+                        f"and branch {name!r}; re-branch or resolve manually")
+                if new:
+                    live[b] = new
+                else:
+                    live.pop(b, None)
+            return live
+
+        ok = self._commit(batch_id, schema, update, kind="merge",
+                          extra_commit_bytes=br_bytes)
+        if ok:
+            # exactly-once across the publish: batches committed on the
+            # branch are now part of MAIN's state, so fold the branch's
+            # ledger into main's — a post-merge replay of a branch batch
+            # must no-op against main too (mirror of create_branch's seed)
+            br_ids = br.committed_batch_ids()
+            self._write_ledger(
+                CommittedIds(set(br_ids.ids), br_ids.numeric_floor),
+                expired_through=None,
+            )
+            self._ids_cache = CommittedIds()  # force re-read incl. new ledger
+            self._ids_scanned_to = -1
+            self._ledger_stamp = None
+        return ok
 
     # ---------- metadata ----------
 
@@ -1245,6 +1458,7 @@ class SnapshotTable:
         n_buckets_override: int | None = None,
         kind: str = "append",
         index_cols_override: list[str] | None = None,
+        extra_commit_bytes: dict | None = None,
     ) -> bool:
         """Optimistic-concurrency commit (Iceberg-style): build the new
         ``live`` mapping from the CURRENT snapshot via ``update_live(live)``,
@@ -1272,6 +1486,11 @@ class SnapshotTable:
             new_live = update_live({b: list(ds) for b, ds in cur["live"].items()})
             referenced = {d for ds in new_live.values() for d in ds}
             prev_bytes = cur.get("commit_bytes", {})
+            if extra_commit_bytes:
+                # a branch merge adopts dirs whose byte stats live in the
+                # BRANCH's snapshot — fold them in so compaction pressure
+                # accounting survives the merge
+                prev_bytes = {**extra_commit_bytes, **prev_bytes}
             commit_bytes = {d: prev_bytes[d] for d in referenced if d in prev_bytes}
             if commit_meta is not None and commit_meta[0] in referenced:
                 commit_bytes[commit_meta[0]] = commit_meta[1]
@@ -1612,6 +1831,30 @@ class SnapshotTable:
 
     # ---------- maintenance: snapshot expiration + orphan GC ----------
 
+    def _other_logs_referenced(self) -> set[str]:
+        """Data dirs referenced by ANY snapshot of every OTHER ref's log
+        (main + all branches except the one running the GC): the data dir
+        is shared across refs, so orphan cleanup from one ref must treat
+        another ref's references as live. O(total retained snapshots)
+        JSON reads — bounded by each ref's own expiration policy."""
+        refs: set[str] = set()
+        main_dir = os.path.join(self.root, SNAPSHOT_DIR)
+        logs = [main_dir] if self.branch is not None else []
+        for b in glob.glob(os.path.join(main_dir, BRANCHES_DIR, "*")):
+            if self.branch is not None and os.path.basename(b) == self.branch:
+                continue
+            logs.append(b)
+        for log in logs:
+            for p in glob.glob(os.path.join(log, "v*.json")):
+                try:
+                    with open(p) as f:
+                        snap = json.load(f)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue  # racing expiration / torn write: next run
+                for ds in snap["live"].values():
+                    refs.update(ds)
+        return refs
+
     def expire_snapshots(
         self,
         retain_last: int = 100,
@@ -1692,7 +1935,10 @@ class SnapshotTable:
 
         removed_dirs = 0
         if clean_orphans:
-            referenced: set[str] = set()
+            # data dirs are SHARED across refs: dirs referenced by any
+            # other ref's log (main + every branch) are never orphans,
+            # whichever ref runs the GC
+            referenced: set[str] = self._other_logs_referenced()
             for v in survivors:
                 try:
                     snap_v = self.snapshot(v)

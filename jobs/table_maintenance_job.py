@@ -31,6 +31,14 @@ Actions:
   tag        pin a NAME to a snapshot version — tagged versions are
              exempt from expiration (audit/release pointers)
   drop-tag   remove a named ref (the version re-enters normal retention)
+  branch     fork a writable branch at a version/tag (write-audit-publish:
+             stage risky ingest on the branch, validate, merge). Pass the
+             global --branch flag to point OTHER actions (status, history,
+             changes, lookup, scan-range, compact, ...) at a branch ref.
+  merge-branch  fold a branch back into main — bucket-granular three-way
+             merge, one atomic idempotent commit (kind="merge")
+  drop-branch   delete a branch's snapshot log; its exclusive data dirs
+             become orphans for the next expire run
   history    print the snapshot log
   status     print current version / bucket spec / delta depth+bytes /
              lineage monitoring summary
@@ -53,6 +61,9 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="SnapshotTable maintenance")
     p.add_argument("--table", required=True)
+    p.add_argument("--branch", default=None,
+                   help="operate on this writable branch ref instead of "
+                        "main (created with the `branch` action)")
     sub = p.add_subparsers(dest="action", required=True)
 
     c = sub.add_parser("compact")
@@ -157,6 +168,17 @@ def main(argv: list[str] | None = None) -> int:
     dt = sub.add_parser("drop-tag")
     dt.add_argument("--name", required=True)
 
+    bc = sub.add_parser("branch")
+    bc.add_argument("--name", required=True)
+    bc.add_argument("--from-version", default=None,
+                    help="snapshot version (int) or tag name to fork at "
+                         "(default: current)")
+    mb = sub.add_parser("merge-branch")
+    mb.add_argument("--name", required=True)
+    mb.add_argument("--batch-id", default=None)
+    db = sub.add_parser("drop-branch")
+    db.add_argument("--name", required=True)
+
     sub.add_parser("history")
     sub.add_parser("status")
     args = p.parse_args(argv)
@@ -167,7 +189,7 @@ def main(argv: list[str] | None = None) -> int:
     from hierarchical_to_relational_spark.operators.merge import compact, evolve_buckets
     from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
 
-    table = SnapshotTable(args.table)
+    table = SnapshotTable(args.table, branch=args.branch)
     out: dict
 
     if args.action == "history":
@@ -179,12 +201,30 @@ def main(argv: list[str] | None = None) -> int:
             "delta_depth": table.delta_depth(),
             "delta_bytes_max_bucket": table.delta_bytes(),
             "refs": table.refs(),
+            "branches": table.branches(),
+            "branch": table.branch,
             "monitoring": LineageStore(args.table).monitoring_summary(),
         }
     elif args.action == "tag":
         out = {"name": args.name, "version": table.tag(args.name, args.version)}
     elif args.action == "drop-tag":
         out = {"name": args.name, "dropped": table.drop_tag(args.name)}
+    elif args.action == "branch":
+        fv = args.from_version
+        if fv is not None:
+            try:
+                fv = int(fv)
+            except ValueError:
+                pass  # tag name — create_branch resolves it
+        br = table.create_branch(args.name, from_version=fv)
+        out = {"name": args.name, "forked_from": br.branch_meta()["forked_from"]}
+    elif args.action == "merge-branch":
+        bid = args.batch_id or f"merge-{args.name}-v{table.current_version()}"
+        out = {"name": args.name, "batch_id": bid,
+               "committed": table.merge_branch(args.name, batch_id=bid),
+               "version": table.current_version()}
+    elif args.action == "drop-branch":
+        out = {"name": args.name, "dropped": table.drop_branch(args.name)}
     elif args.action == "expire":
         out = table.expire_snapshots(
             retain_last=args.retain_last,

@@ -316,3 +316,31 @@ def test_tag_actions(spark, tmp_path, capsys, table):
     assert tg["version"] in SnapshotTable(root)._versions()
     dr = _run(capsys, "--table", root, "drop-tag", "--name", "prod")
     assert dr["dropped"] is True
+
+
+def test_branch_actions(spark, tmp_path, capsys, table):
+    root, events = table
+    bc = _run(capsys, "--table", root, "branch", "--name", "stage")
+    st = _run(capsys, "--table", root, "status")
+    assert st["branches"] == ["stage"] and st["branch"] is None
+    # the global --branch flag points any action at the branch ref
+    bst = _run(capsys, "--table", root, "--branch", "stage", "status")
+    assert bst["branch"] == "stage" and bst["version"] == bc["forked_from"]
+    # audit step on the branch: compact there, main log untouched
+    v_main = SnapshotTable(root).current_version()
+    c = _run(capsys, "--table", root, "--branch", "stage", "compact")
+    assert c["committed"] is True
+    assert SnapshotTable(root).current_version() == v_main
+    # publish: fold the branch back (branch rewrote, main untouched →
+    # branch adopted), then drop it
+    mg = _run(capsys, "--table", root, "merge-branch", "--name", "stage")
+    assert mg["committed"] is True
+    mg2 = _run(capsys, "--table", root, "merge-branch", "--name", "stage",
+               "--batch-id", mg["batch_id"])
+    assert mg2["committed"] is False  # exactly-once on explicit id
+    want = datagen.expected_state(events)
+    got = read_transcripts(spark, SnapshotTable(root))
+    assert got.count() == len(want)
+    dr = _run(capsys, "--table", root, "drop-branch", "--name", "stage")
+    assert dr["dropped"] is True
+    assert _run(capsys, "--table", root, "status")["branches"] == []
