@@ -36,8 +36,14 @@ channel exactly-once, simultaneously. A follower with neither channel
 only reports counts.
 
 Published windows are additionally journaled to ``out_dir/_windows.jsonl``
-(one tiny JSON line per window, ~30 bytes — bounded by window COUNT, not
-data). The journal is the export stream's manifest: when retention has
+(one tiny JSON line per window — bounded by window COUNT, not data). Each
+line also records the window's AUDIT fingerprint: upsert/delete counts and
+an order-insensitive content hash (exact decimal sum of per-row xxhash64)
+computed over the PUBLISHED bytes in the same single-pass aggregate that
+produces the poll's op counts — zero extra jobs. ``audit_exports()`` lets
+any downstream verifier recompute live dirs against the journal and
+pinpoint a corrupted/truncated export without consuming the stream. The
+journal is the export stream's manifest: when retention has
 deleted a published-but-unacked export dir, re-delivery consults the
 journal and recomputes each ORIGINAL window (from, to] exactly via
 ``changes_since`` instead of collapsing the gap into one merged catch-up
@@ -170,13 +176,72 @@ class ChangeFollower:
             pass
         return wins
 
-    def _journal_append(self, frm: int, to: int) -> None:
+    def _journal_append(self, frm: int, to: int,
+                        stats: dict | None = None) -> None:
         if frm in self._journal_windows():
             return  # crash re-poll of an already-published window
+        line = {"from": frm, "to": to}
+        if stats:
+            line.update(stats)
         with open(self._journal_path(), "a") as f:
-            f.write(json.dumps({"from": frm, "to": to}) + "\n")
+            f.write(json.dumps(line) + "\n")
             f.flush()
             os.fsync(f.fileno())
+
+    def _journal_lines(self) -> list[dict]:
+        out = []
+        try:
+            with open(self._journal_path()) as f:
+                for line in f:
+                    try:
+                        out.append(json.loads(line))
+                    except ValueError:
+                        continue
+        except FileNotFoundError:
+            pass
+        return out
+
+    @staticmethod
+    def _window_stats(df) -> dict:
+        """Audit fingerprint of one change window: op counts plus an
+        ORDER-INSENSITIVE content hash (exact decimal sum of per-row
+        xxhash64 over every column — commutative, so repartitioning or
+        file order can't change it; decimal so ANSI sum can't overflow).
+        One single-pass aggregate — it replaces the old per-op groupBy."""
+        from pyspark.sql import functions as F
+
+        r = df.agg(
+            F.sum(F.when(F.col("change_op") == "u", 1).otherwise(0)).alias("u"),
+            F.sum(F.when(F.col("change_op") == "d", 1).otherwise(0)).alias("d"),
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return {"upserts": int(r["u"] or 0), "deletes": int(r["d"] or 0),
+                "hash": str(r["h"]) if r["h"] is not None else None}
+
+    def audit_exports(self) -> list[dict]:
+        """Downstream-audit pass over the export stream: for every
+        journaled window whose stats were recorded, recompute the
+        fingerprint from its LIVE export dir (retired dirs are skipped —
+        the journal line remains their durable record) and report any
+        divergence. Empty list == every published byte still matches what
+        the follower delivered. O(live export dirs) single-pass aggregates,
+        no state is mutated."""
+        if not self.out_dir:
+            return []
+        bad = []
+        for w in self._journal_lines():
+            if "hash" not in w:
+                continue  # pre-stats journal line (backfill) — boundaries only
+            d = os.path.join(self.out_dir, f"inc-{w['from']:010d}-{w['to']:010d}")
+            if not os.path.isdir(d):
+                continue  # retired by retention; journal stays authoritative
+            got = self._window_stats(self.spark.read.parquet(d))
+            want = {"upserts": w["upserts"], "deletes": w["deletes"],
+                    "hash": w["hash"]}
+            if got != want:
+                bad.append({"from": w["from"], "to": w["to"],
+                            "expected": want, "found": got, "path": d})
+        return bad
 
     def retire_exports(self, keep_last: int, force: bool = False) -> list[str]:
         """Retention for the export stream: delete all but the newest
@@ -316,13 +381,16 @@ class ChangeFollower:
             # else: a previous poll exported this exact window but crashed
             # before advancing the cursor — the diff of (since, v_now] is
             # deterministic, so the existing export IS this poll's output
-            self._journal_append(since, v_now)  # manifest outlives retention
             df = self.spark.read.parquet(final)
             out_path = final
-        ops = {r["change_op"]: r["n"] for r in
-               df.groupBy("change_op").count().withColumnRenamed("count", "n").collect()}
+        # one single-pass aggregate: op counts + the audit fingerprint.
+        # With an export it runs over the PUBLISHED bytes, so the journal
+        # line certifies exactly what downstream consumers will read.
+        stats = self._window_stats(df)
+        if out_path is not None:
+            self._journal_append(since, v_now, stats)  # outlives retention
         res = {"from": since, "to": v_now,
-               "upserts": ops.get("u", 0), "deletes": ops.get("d", 0),
+               "upserts": stats["upserts"], "deletes": stats["deletes"],
                "out_path": out_path, "needs_resync": False,
                "redelivered": redelivered, "changes": df}
         # deliver BEFORE advancing the ack: a crash (or callback error)

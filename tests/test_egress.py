@@ -452,3 +452,39 @@ def test_retire_exports_refuses_unacked(spark, tmp_path):
         json.dump({"version": v, "acked": v}, fh)
     assert len(f.retire_exports(keep_last=0)) == 1, "acked window retired"
     assert _win_dirs(out) == []
+
+
+def test_journal_stats_and_audit_exports(spark, tmp_path):
+    """Published windows journal op counts + an order-insensitive content
+    hash of the EXPORTED bytes; audit_exports() recomputes fingerprints
+    from the live dirs and reports divergence (none when untouched, the
+    exact window when an export is corrupted)."""
+    import json
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    out = str(tmp_path / "egress")
+    f = ChangeFollower(spark, pipe.table, str(tmp_path / "cursor.json"),
+                       out_dir=out)
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None)]),
+    ]), "b0")
+    f.poll_once()  # pin
+    pipe.apply_batch(_env_rows(spark, [
+        (2, "insert", "cB", [(0, "user", "b0", None), (1, "agent", "b1", None)]),
+        (3, "delete", "cA", None),
+    ]), "b1")
+    p = f.poll_once()
+    assert (p["upserts"], p["deletes"]) == (2, 1)
+    lines = [json.loads(x) for x in
+             open(os.path.join(out, "_windows.jsonl")).read().splitlines()]
+    w = [x for x in lines if x["from"] == p["from"]][0]
+    assert (w["upserts"], w["deletes"]) == (2, 1) and w["hash"]
+    assert f.audit_exports() == []
+    # corrupt the published window: drop one parquet part file
+    parts = [x for x in os.listdir(p["out_path"]) if x.endswith(".parquet")]
+    os.unlink(os.path.join(p["out_path"], parts[0]))
+    bad = f.audit_exports()
+    assert len(bad) == 1 and bad[0]["from"] == p["from"]
+    assert bad[0]["expected"]["hash"] != bad[0]["found"]["hash"] or \
+        bad[0]["expected"]["upserts"] != bad[0]["found"]["upserts"]
