@@ -74,21 +74,36 @@ class ConvAggregateView:
     def __init__(
         self,
         spark: SparkSession,
-        source: SnapshotTable,
+        source: "SnapshotTable | ConvAggregateView",
         root: str,
-        aggs: dict[str, Column] | None = None,
+        aggs: dict[str, Column | str] | None = None,
         n_buckets: int = 16,
         key_set_threshold: int = 10_000,
         window_col: Column | None = None,
     ):
         """``aggs``: output column name → aggregate expression over the
-        source's RESOLVED user rows, grouped by ``conv_id``. Declared
+        source's RESOLVED user rows, grouped by ``conv_id`` — a Column or
+        a SQL aggregate string (``"sum(length(text))"``, parsed with
+        F.expr; what the CLI's ``--agg name=expr`` surfaces). Declared
         once at construction; the MV schema is derived from them on the
         first refresh. ``key_set_threshold``: changed-conversation count
         up to which phase 2 uses the driver-pruned batched lookup (a
         bounded collect of conv_ids, same contract as
         ``lookup_conversations``); above it, one semi-join scan — the
         window is so wide that pruning would not pay.
+
+        ``source`` may be ANOTHER ConvAggregateView (view chaining): the
+        downstream view treats the upstream MV's own SnapshotTable as its
+        source — the upstream's refresh commits are ordinary CDF windows,
+        so the downstream refresh stays O(conversations the upstream
+        window touched) and changes propagate level by level (refresh
+        upstream, then downstream; ``refresh_many`` cannot mix levels
+        because each level must see the previous one's commit first).
+        Resolution is lazy: the upstream may be unbuilt at construction
+        as long as it has refreshed before the downstream's first
+        refresh. Since an MV root is just a table, the maintenance CLI
+        chains with ``--table <upstream-mv-root> --root <downstream>``
+        plus ``--agg`` declarations over the upstream's columns.
 
         ``window_col``: optional INT expression over the source rows
         (e.g. ``F.datediff(F.col("ts"), F.lit("1970-01-01"))`` for daily
@@ -102,15 +117,29 @@ class ConvAggregateView:
         MV's ``turn_idx`` key column and is surfaced as ``window_id`` by
         ``read()``."""
         self.spark = spark
-        self.source = source
+        self._source = source
         self.root = root
-        self.aggs = aggs if aggs is not None else default_aggs()
+        aggs = aggs if aggs is not None else default_aggs()
+        self.aggs = {n: (F.expr(c) if isinstance(c, str) else c)
+                     for n, c in aggs.items()}
         self.n_buckets = n_buckets
         self.key_set_threshold = key_set_threshold
         self.window_col = window_col
         self.table: SnapshotTable | None = (
             SnapshotTable(root) if SnapshotTable.exists(root) else None
         )
+
+    @property
+    def source(self) -> SnapshotTable:
+        """The source TABLE — for a chained view, the upstream MV's table,
+        resolved lazily (the upstream must have refreshed at least once
+        before this view's first refresh needs it)."""
+        if isinstance(self._source, ConvAggregateView):
+            if self._source.table is None:
+                raise ValueError(
+                    "chained view's upstream MV has never been refreshed")
+            return self._source.table
+        return self._source
 
     # -- cursor (same tmp+rename discipline as the follower/table) -------
     def _cursor_path(self) -> str:

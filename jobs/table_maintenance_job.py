@@ -159,6 +159,13 @@ def main(argv: list[str] | None = None) -> int:
                          "(conv_id, day) instead of per conversation")
     mv.add_argument("--full", action="store_true",
                     help="force a full rebuild instead of incremental")
+    mv.add_argument("--agg", action="append", default=None,
+                    metavar="NAME=SQL_EXPR",
+                    help="declare the view's aggregates as SQL (repeatable): "
+                         "--agg 'chars=sum(length(text))'. Overrides the "
+                         "default profile; with --table pointed at another "
+                         "MV's root this CHAINS views (aggregate over the "
+                         "upstream MV's columns)")
 
     tg = sub.add_parser("tag")
     tg.add_argument("--name", required=True)
@@ -243,11 +250,15 @@ def main(argv: list[str] | None = None) -> int:
                 default_aggs,
             )
 
+            if args.agg:
+                aggs = dict(a.split("=", 1) for a in args.agg)
+            elif args.window_days:
+                aggs = {"n_turns": _F.count(_F.lit(1)),
+                        "chars": _F.sum(_F.length("text"))}
+            else:
+                aggs = default_aggs()
             view = ConvAggregateView(
-                spark, table, args.root,
-                aggs=({"n_turns": _F.count(_F.lit(1)),
-                       "chars": _F.sum(_F.length("text"))}
-                      if args.window_days else default_aggs()),
+                spark, table, args.root, aggs=aggs,
                 window_col=(_F.datediff(_F.col("ts"), _F.lit("1970-01-01"))
                             if args.window_days else None),
             )

@@ -260,3 +260,82 @@ def test_windowed_view_daily_rollup_delete_then_readd(spark, tmp_path):
     refresh_many([mv, plain])
     rows = {(r["conv_id"], r["window_id"]): r["n_turns"] for r in mv.read().collect()}
     assert rows == {("cB", w2): 1}
+
+
+def test_sql_declared_aggs(spark, tmp_path):
+    """Aggs declared as SQL strings (the CLI --agg surface) behave exactly
+    like Column aggs."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "hello", None), (1, "agent", "hi", None)]),
+        (2, "insert", "cB", [(0, "user", "yo", None)]),
+    ]), "b0")
+    mv = ConvAggregateView(spark, pipe.table, str(tmp_path / "mv"),
+                           aggs={"n_turns": "count(*)",
+                                 "chars": "sum(length(text))"})
+    mv.refresh()
+    got = {r["conv_id"]: (r["n_turns"], r["chars"]) for r in mv.read().collect()}
+    assert got == {"cA": (2, 7), "cB": (1, 2)}
+
+
+def test_chained_view_over_windowed_view(spark, tmp_path):
+    """View chaining: source → per-(conv, day) windowed MV → per-conv
+    rollup over the MV. Changes propagate level-by-level, the downstream
+    refresh is incremental (O(changed convs) of the UPSTREAM window), and
+    both levels always equal a from-scratch recompute."""
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None), (1, "agent", "a1", None)]),
+        (2, "insert", "cB", [(0, "user", "b0", None)]),
+    ]), "b0")
+
+    daily = ConvAggregateView(
+        spark, pipe.table, str(tmp_path / "mv1"),
+        aggs={"n_turns": "count(*)", "chars": "sum(length(text))"},
+        window_col=F.datediff(F.col("ts"), F.lit("1970-01-01")))
+    rollup = ConvAggregateView(
+        spark, daily, str(tmp_path / "mv2"),   # source = the upstream VIEW
+        aggs={"n_days": "count(*)", "total_turns": "sum(n_turns)",
+              "total_chars": "sum(chars)"})
+    with pytest.raises(ValueError):
+        rollup.refresh()  # upstream never refreshed → explicit error
+    daily.refresh()
+    r = rollup.refresh()
+    assert r["mode"] == "full"
+
+    def recompute():
+        per_day = read_transcripts(spark, pipe.table).groupBy(
+            "conv_id",
+            F.datediff(F.col("ts"), F.lit("1970-01-01")).alias("w")).agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("chars"))
+        return {r["conv_id"]: (r["n_days"], r["total_turns"], r["total_chars"])
+                for r in per_day.groupBy("conv_id").agg(
+                    F.count(F.lit(1)).alias("n_days"),
+                    F.sum("n_turns").alias("total_turns"),
+                    F.sum("chars").alias("total_chars")).collect()}
+
+    def mv2_state():
+        return {r["conv_id"]: (r["n_days"], r["total_turns"], r["total_chars"])
+                for r in rollup.read().collect()}
+
+    assert mv2_state() == recompute()
+
+    # incremental propagation: touch ONE conversation upstream
+    pipe.apply_batch(_env_rows(spark, [
+        (3, "update", "cA", [(1, "agent", "a1-much-longer", None)]),
+    ]), "b1")
+    d1 = daily.refresh()
+    assert d1["mode"] == "incremental" and d1["changed_convs"] == 1
+    r1 = rollup.refresh()
+    assert r1["mode"] == "incremental" and r1["changed_convs"] == 1
+    assert mv2_state() == recompute()
+
+    # delete propagates: conv vanishes from BOTH levels
+    pipe.apply_batch(_env_rows(spark, [(4, "delete", "cB", None)]), "b2")
+    daily.refresh()
+    rollup.refresh()
+    assert "cB" not in mv2_state() and mv2_state() == recompute()
