@@ -218,26 +218,46 @@ class ChangeFollower:
         return {"upserts": int(r["u"] or 0), "deletes": int(r["d"] or 0),
                 "hash": str(r["h"]) if r["h"] is not None else None}
 
-    def audit_exports(self) -> list[dict]:
+    def audit_exports(self, recompute_retired: bool = False) -> list[dict]:
         """Downstream-audit pass over the export stream: for every
         journaled window whose stats were recorded, recompute the
-        fingerprint from its LIVE export dir (retired dirs are skipped —
-        the journal line remains their durable record) and report any
-        divergence. Empty list == every published byte still matches what
-        the follower delivered. O(live export dirs) single-pass aggregates,
-        no state is mutated."""
+        fingerprint from its LIVE export dir and report any divergence.
+        Empty list == every published byte still matches what the
+        follower delivered. O(live export dirs) single-pass aggregates,
+        no state is mutated.
+
+        ``recompute_retired=True`` extends the audit to windows retention
+        already deleted: each is recomputed window-exact via
+        ``changes_since`` (deterministic — every emitted column comes
+        from stored data, no wall clock) and checked against its journal
+        line, proving the journal itself wasn't tampered with and the
+        table can still reproduce what was delivered. A retired window
+        whose source versions have also expired is reported with
+        ``"unverifiable": True`` rather than silently passed."""
         if not self.out_dir:
             return []
         bad = []
         for w in self._journal_lines():
             if "hash" not in w:
                 continue  # pre-stats journal line (backfill) — boundaries only
-            d = os.path.join(self.out_dir, f"inc-{w['from']:010d}-{w['to']:010d}")
-            if not os.path.isdir(d):
-                continue  # retired by retention; journal stays authoritative
-            got = self._window_stats(self.spark.read.parquet(d))
             want = {"upserts": w["upserts"], "deletes": w["deletes"],
                     "hash": w["hash"]}
+            d = os.path.join(self.out_dir, f"inc-{w['from']:010d}-{w['to']:010d}")
+            if os.path.isdir(d):
+                got = self._window_stats(self.spark.read.parquet(d))
+            elif recompute_retired:
+                try:
+                    df = changes_since(self.spark, self.table,
+                                       w["from"], version=w["to"])
+                except (ValueError, FileNotFoundError):
+                    bad.append({"from": w["from"], "to": w["to"],
+                                "expected": want, "found": None,
+                                "path": None, "unverifiable": True})
+                    continue
+                got = self._window_stats(df)
+                d = None
+            else:
+                continue  # retired; journal stays the durable record
             if got != want:
                 bad.append({"from": w["from"], "to": w["to"],
                             "expected": want, "found": got, "path": d})

@@ -488,3 +488,44 @@ def test_journal_stats_and_audit_exports(spark, tmp_path):
     assert len(bad) == 1 and bad[0]["from"] == p["from"]
     assert bad[0]["expected"]["hash"] != bad[0]["found"]["hash"] or \
         bad[0]["expected"]["upserts"] != bad[0]["found"]["upserts"]
+
+
+def test_audit_recomputes_retired_windows(spark, tmp_path):
+    """After retention deletes a published export, audit_exports with
+    recompute_retired=True reproduces the window via changes_since and
+    verifies it against the journal fingerprint; a tampered journal line
+    is flagged; an expired source makes it 'unverifiable', never a silent
+    pass."""
+    import json
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    out = str(tmp_path / "egress")
+    f = ChangeFollower(spark, pipe.table, str(tmp_path / "cursor.json"),
+                       out_dir=out)
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None)]),
+    ]), "b0")
+    f.poll_once()
+    pipe.apply_batch(_env_rows(spark, [
+        (2, "insert", "cB", [(0, "user", "b0", None)]),
+    ]), "b1")
+    p1 = f.poll_once(on_changes=lambda r: None)   # acked → retirable
+    pipe.apply_batch(_env_rows(spark, [
+        (3, "update", "cA", [(0, "user", "a0-v2", None)]),
+    ]), "b2")
+    f.poll_once(on_changes=lambda r: None)
+    assert f.retire_exports(keep_last=1) == [p1["out_path"]]
+    # the retired window recomputes clean; live window verifies from disk
+    assert f.audit_exports(recompute_retired=True) == []
+    # tamper the retired window's journal hash → flagged
+    jp = os.path.join(out, "_windows.jsonl")
+    lines = [json.loads(x) for x in open(jp).read().splitlines()]
+    for w in lines:
+        if w["from"] == p1["from"]:
+            w["hash"] = "12345"
+    with open(jp, "w") as fh:
+        fh.write("\n".join(json.dumps(w) for w in lines) + "\n")
+    bad = f.audit_exports(recompute_retired=True)
+    assert len(bad) == 1 and bad[0]["from"] == p1["from"]
+    assert bad[0]["path"] is None and "unverifiable" not in bad[0]
