@@ -296,6 +296,42 @@ class ConvAggregateView:
         return df.drop("turn_idx")
 
 
+def refresh_dag(views: list[ConvAggregateView]) -> list[dict]:
+    """Refresh a CHAINED view DAG in one call: views are topologically
+    ordered (upstreams before the views that read them — chaining depth
+    is discovered by following ``_source`` links), each LEVEL's
+    same-source groups refresh through ``refresh_many``'s shared scan,
+    and downstream levels run after their upstreams committed — so one
+    call propagates a change wave through the whole DAG. Views whose
+    source is an unrelated table simply land in level 0. Returns one
+    report per view, in INPUT order. Raises on a cycle (impossible to
+    build with this API, but a hand-wired loop should fail loudly, not
+    recurse forever)."""
+    idx = {id(v): i for i, v in enumerate(views)}
+
+    def depth(v: ConvAggregateView, seen: tuple = ()) -> int:
+        if id(v) in seen:
+            raise ValueError("refresh_dag: view dependency cycle")
+        s = v._source
+        if isinstance(s, ConvAggregateView):
+            return 1 + depth(s, seen + (id(v),))
+        return 0
+
+    levels: dict[int, list[ConvAggregateView]] = {}
+    for v in views:
+        levels.setdefault(depth(v), []).append(v)
+    reports: dict[int, dict] = {}
+    for d in sorted(levels):
+        # within a level, group by source table root for the shared scan
+        groups: dict[str, list[ConvAggregateView]] = {}
+        for v in levels[d]:
+            groups.setdefault(v.source.root, []).append(v)
+        for group in groups.values():
+            for v, rep in zip(group, refresh_many(group)):
+                reports[idx[id(v)]] = rep
+    return [reports[i] for i in range(len(views))]
+
+
 def refresh_many(views: list[ConvAggregateView]) -> list[dict]:
     """Refresh SEVERAL views over the same source table from ONE change
     scan and ONE pruned read: ``changes_since`` runs once (from the oldest

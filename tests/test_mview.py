@@ -339,3 +339,47 @@ def test_chained_view_over_windowed_view(spark, tmp_path):
     daily.refresh()
     rollup.refresh()
     assert "cB" not in mv2_state() and mv2_state() == recompute()
+
+
+def test_refresh_dag_propagates_one_wave(spark, tmp_path):
+    """refresh_dag: one call refreshes base-level views via the shared
+    scan and chained views AFTER their upstream committed — a single
+    change wave reaches the deepest level."""
+    from hierarchical_to_relational_spark.operators.mview import refresh_dag
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None), (1, "agent", "a1", None)]),
+        (2, "insert", "cB", [(0, "user", "b0", None)]),
+    ]), "b0")
+
+    daily = ConvAggregateView(
+        spark, pipe.table, str(tmp_path / "mv1"),
+        aggs={"n_turns": "count(*)", "chars": "sum(length(text))"},
+        window_col=F.datediff(F.col("ts"), F.lit("1970-01-01")))
+    profile = ConvAggregateView(spark, pipe.table, str(tmp_path / "mv1b"))
+    rollup = ConvAggregateView(
+        spark, daily, str(tmp_path / "mv2"),
+        aggs={"total_turns": "sum(n_turns)"})
+    # input order deliberately downstream-first: the DAG must reorder
+    reps = refresh_dag([rollup, profile, daily])
+    assert [r["mode"] for r in reps] == ["full", "full", "full"]
+    # same-source level-0 views shared one scan on the next (incremental) wave
+    pipe.apply_batch(_env_rows(spark, [
+        (3, "update", "cA", [(1, "agent", "a1-longer", None)]),
+    ]), "b1")
+    reps = refresh_dag([rollup, profile, daily])
+    assert [r["mode"] for r in reps] == ["incremental"] * 3
+    assert reps[1].get("shared_scan") and reps[2].get("shared_scan")
+    got = {r["conv_id"]: r["total_turns"] for r in rollup.read().collect()}
+    want = {r["conv_id"]: r["n"] for r in
+            read_transcripts(spark, pipe.table)
+            .groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+    # a hand-wired cycle fails loudly
+    a = ConvAggregateView(spark, pipe.table, str(tmp_path / "x"))
+    b = ConvAggregateView(spark, a, str(tmp_path / "y"))
+    a._source = b
+    with pytest.raises(ValueError, match="cycle"):
+        refresh_dag([a, b])
