@@ -529,6 +529,47 @@ def q_cdc_windowed_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holder["mv"].read().select("conv_id", "window_id", "n_turns", "chars")
 
 
+def q_cdc_chained_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED materialized views maintained as a DAG: a per-(conv, day)
+    windowed view over the CDC table feeds a per-conversation rollup view
+    (its source is the UPSTREAM VIEW, not the table), and one
+    ``refresh_dag`` call per replay batch propagates the change wave
+    level by level (upstream commits first; the downstream's incremental
+    window is the upstream's refresh commit). The final rollup must
+    hash-match the independent DuckDB TWO-LEVEL aggregate of the final
+    LWW state — chained incremental maintenance may never drift from a
+    from-scratch recompute of the whole chain."""
+    from hierarchical_to_relational_spark.operators.mview import (
+        ConvAggregateView,
+        refresh_dag,
+    )
+
+    holder: dict = {}
+
+    def _after(table, b):
+        if "daily" not in holder:
+            holder["daily"] = ConvAggregateView(
+                spark, table, tempfile.mkdtemp(prefix="h2r-cmv1-"),
+                aggs={"n_turns": "count(*)",
+                      "chars": "sum(length(text))"},
+                window_col=F.datediff(F.col("ts"), F.lit("1970-01-01")),
+            )
+            holder["rollup"] = ConvAggregateView(
+                spark, holder["daily"], tempfile.mkdtemp(prefix="h2r-cmv2-"),
+                aggs={"n_days": "count(*)",
+                      "total_turns": "sum(n_turns)",
+                      "total_chars": "sum(chars)"},
+            )
+        reps = refresh_dag([holder["rollup"], holder["daily"]])
+        holder.setdefault("modes", []).append(tuple(r["mode"] for r in reps))
+
+    _cdc_table(spark, sf_dir, after_batch=_after)
+    assert holder["modes"][0] == ("full", "full")
+    assert ("incremental", "incremental") in holder["modes"][1:]
+    return holder["rollup"].read().select(
+        "conv_id", "n_days", "total_turns", "total_chars")
+
+
 def q_cdc_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mid-stream int→long type widening: batches 0-1 carry a turn column
     ``score`` as INT (lsn % 100); batch 2 carries it as LONG with values
@@ -676,6 +717,15 @@ _CDC_WINDOWED_MVIEW_ORACLE = f"""
            count(*) AS n_turns,
            CAST(sum(length("text")) AS BIGINT) AS chars
     FROM state GROUP BY conv_id, window_id
+"""
+
+_CDC_CHAINED_MVIEW_ORACLE = f"""
+    WITH daily AS ({_CDC_WINDOWED_MVIEW_ORACLE})
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n_turns) AS BIGINT) AS total_turns,
+           CAST(sum(chars) AS BIGINT) AS total_chars
+    FROM daily GROUP BY conv_id
 """
 
 
@@ -1228,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_maintain": q_cdc_maintain,
         "cdc_branch_merge": q_cdc_branch_merge,
         "cdc_mview": q_cdc_mview,
+        "cdc_chained_mview": q_cdc_chained_mview,
         "cdc_windowed_mview": q_cdc_windowed_mview,
         "cdc_widening": q_cdc_widening,
         "agg_pricing": q_agg_pricing,
@@ -1390,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
         # applying every batch to one table (LWW is order-insensitive)
         "cdc_branch_merge": _CDC_REPLAY_ORACLE,
         "cdc_mview": _CDC_MVIEW_ORACLE,
+        "cdc_chained_mview": _CDC_CHAINED_MVIEW_ORACLE,
         "cdc_windowed_mview": _CDC_WINDOWED_MVIEW_ORACLE,
         "cdc_widening": _CDC_WIDENING_ORACLE,
         "agg_pricing": """
