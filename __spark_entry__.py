@@ -1077,32 +1077,47 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_fingerprint(docs, "doc_id", "text")
 
 
-def _quantized(df: DataFrame, scale: int = 10000) -> DataFrame:
+def _quantized(df: DataFrame, scale: int = 10000, dim: int | None = None) -> DataFrame:
     """float vectors → exact integer vectors (floor(x*scale)): integer dot
-    products are order-independent ⇒ bit-identical across engines."""
-    return df.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * scale).cast("long")).alias("q"),
-    )
+    products are order-independent ⇒ bit-identical across engines. With
+    ``dim`` the per-element transform unrolls into a codegen-able array
+    constructor (identical values; size-guarded fallback)."""
+    dyn = F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * scale).cast("long"))
+    q = dyn
+    if dim is not None:
+        flat = F.array(*[
+            F.floor(F.col("embedding")[i].cast("double") * scale).cast("long")
+            for i in range(dim)
+        ])
+        q = F.when(F.size("embedding") == dim, flat).otherwise(dyn)
+    return df.select("vec_id", q.alias("q"))
 
 
-def _int_cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
-    na = F.aggregate(a, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-    nb = F.aggregate(b, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+def _int_cosine(a, b, dim: int | None = None):
+    # flat codegen-able sums when dim is known (functions.vecalg): same
+    # left-assoc fold order as the HOF form ⇒ identical long arithmetic
+    from hierarchical_to_relational_spark.functions import vecalg
+
+    dot = vecalg.dot(a, b, dim=dim, acc="long")
+    na = vecalg.sq_norm(a, dim=dim, acc="long")
+    nb = vecalg.sq_norm(b, dim=dim, acc="long")
     return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-dup on a vec_id-sampled subset (quantized)."""
-    v = _quantized(_t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0))
+    from hierarchical_to_relational_spark.functions import vecalg
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = vecalg.vec_dim(emb, "embedding")
+    v = _quantized(emb.where(F.col("vec_id") % 5 == 0), dim=dim)
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id1"),
             F.col("b.vec_id").alias("id2"),
-            _int_cosine(F.col("a.q"), F.col("b.q")).alias("cos"),
+            _int_cosine(F.col("a.q"), F.col("b.q"), dim=dim).alias("cos"),
         )
         .where(F.col("cos") >= 0.4)
         .select("id1", "id2", F.round("cos", 6).alias("cos"))
@@ -1112,12 +1127,15 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors vec_id < 5 (exact ANN
     baseline; quantized for cross-engine determinism)."""
+    from hierarchical_to_relational_spark.functions import vecalg
+
     emb = _t(spark, sf_dir, "embeddings")
-    v = _quantized(emb)
+    dim = vecalg.vec_dim(emb, "embedding")
+    v = _quantized(emb, dim=dim)
     q = v.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
     c = v.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id", _int_cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "query_id", "neighbor_id", _int_cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

@@ -226,14 +226,20 @@ def simhash_fingerprint(
 
 # ---------- embedding cosine near-dup ----------
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double-array columns (JVM higher-order
-    functions — no Python). Zero-norm vectors yield NULL, not NaN: Spark
-    orders NaN above every number, so an unguarded 0/0 would make zero
-    vectors pass every ``cos >= threshold`` filter."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity of two double-array columns (JVM-side — no
+    Python). Zero-norm vectors yield NULL, not NaN: Spark orders NaN above
+    every number, so an unguarded 0/0 would make zero vectors pass every
+    ``cos >= threshold`` filter.
+
+    With ``dim`` the dot and norms unroll into flat codegen-able sums
+    (functions.vecalg) — bit-identical to the HOF fold (same order), with
+    a size-guarded fallback for rows of another dimension."""
+    from hierarchical_to_relational_spark.functions import vecalg
+
+    dot = vecalg.dot(a, b, dim=dim)
+    na = F.sqrt(vecalg.sq_norm(a, dim=dim))
+    nb = F.sqrt(vecalg.sq_norm(b, dim=dim))
     denom = na * nb
     return F.when(denom > 0, dot / denom)
 

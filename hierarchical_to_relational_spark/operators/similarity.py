@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from hierarchical_to_relational_spark.functions import vecalg
 from hierarchical_to_relational_spark.operators.dedup import cosine
 
 
@@ -29,11 +30,12 @@ def brute_force_topk(
 
     Deterministic: ties broken by neighbor id. The corpus side is the big
     side; queries are broadcast (small dim table pattern)."""
+    dim = vecalg.vec_dim(corpus, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -43,15 +45,19 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec_col, n_planes: int = 8, seed: int = 0):
+def hyperplane_bucket(vec_col, n_planes: int = 8, seed: int = 0, dim: int | None = None):
     """Sign-bucket id in [0, 2^n_planes): bit j = sign of <v, h_j>, where
     h_j[d] = ±1 from xxhash64(seed, j, d) — deterministic pseudo-random
-    hyperplanes, identical across runs and cluster sizes."""
+    hyperplanes, identical across runs and cluster sizes.
+
+    With ``dim`` the per-plane dot unrolls into a flat codegen-able sum
+    whose ±1 signs are literal-folded by Catalyst (xxhash64 of literals);
+    rows of any other size fall back to the dynamic HOF fold — identical
+    values either way (same fold order, same per-dim sign formula)."""
     v = vec_col
-    bits = []
-    for j in range(n_planes):
-        # ±1 per dimension via parity of a per-(plane, dim) hash
-        dot = F.aggregate(
+
+    def _plane_dot(j: int):
+        dyn = F.aggregate(
             F.zip_with(
                 v,
                 F.transform(F.sequence(F.lit(0), F.size(v) - 1),
@@ -61,6 +67,18 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, seed: int = 0):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        if dim is None:
+            return dyn
+        flat = F.lit(0.0)
+        for d in range(dim):
+            sign = (F.pmod(F.xxhash64(F.lit(seed), F.lit(j), F.lit(d)), F.lit(2)) * 2 - 1).cast("double")
+            flat = flat + v[d] * sign
+        return F.when(F.size(v) == dim, flat).otherwise(dyn)
+
+    bits = []
+    for j in range(n_planes):
+        # ±1 per dimension via parity of a per-(plane, dim) hash
+        dot = _plane_dot(j)
         bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** j))
     out = bits[0]
     for b in bits[1:]:
@@ -87,10 +105,11 @@ def lsh_topk(
     away (n_planes+1 buckets per query — candidates grow ~linearly in
     n_planes while recall recovers the neighbors that fell just across one
     hyperplane, the dominant LSH failure mode)."""
+    dim = vecalg.vec_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("qv"), n_planes, seed))
+    ).withColumn("bucket", hyperplane_bucket(F.col("qv"), n_planes, seed, dim=dim))
     if probe_hamming >= 1:
         probes = F.array(F.col("bucket"), *[
             F.col("bucket").bitwiseXOR(F.lit(2 ** j)) for j in range(n_planes)
@@ -99,10 +118,10 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes, seed))
+    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes, seed, dim=dim))
     scored = (
         c.join(F.broadcast(q), (F.col("query_id") != F.col("neighbor_id")) & (q["bucket"] == c["bucket"]))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"))
     )
     if probe_hamming >= 1:
         # a neighbor can match several probe buckets; single-probe pairs
@@ -118,13 +137,60 @@ def lsh_topk(
 
 # ---------- IVF (inverted-file) ANN ----------
 
-def _unit(v):
-    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    return F.when(n > 0, F.transform(v, lambda x: x / n))
+def _unit(v, dim: int | None = None):
+    """Unit-normalized copy of an array column (null for zero/NULL vectors).
+
+    NOTE (perf): as a single inline expression the norm subtree is embedded
+    inside the division lambda, and the interpreted HOF path re-evaluates
+    it per ELEMENT — O(d²) per row (measured 345 µs/row at d=64, the
+    round-6 ivf_topk wall-clock sink). Hot paths use ``_unit_select``,
+    which stages the norm as a column so it computes once per row and the
+    division unrolls into codegen-able arithmetic."""
+    n = F.sqrt(vecalg.sq_norm(v, dim))
+    if dim is None:
+        return F.when(n > 0, F.transform(v, lambda x: x / n))
+    flat = F.array(*[v[i] / n for i in range(dim)])
+    div = F.when(F.size(v) == dim, flat).otherwise(F.transform(v, lambda x: x / n))
+    return F.when(n > 0, div)
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+def _unit_select(df: DataFrame, id_col: str, id_alias: str, vec_col: str,
+                 v_alias: str, dim: int | None = None) -> DataFrame:
+    """``(id_alias, v_alias)`` projection with unit-normalized vectors;
+    NULL and zero-norm vectors are DROPPED (the rows ``_unit(...)`` would
+    have mapped to NULL — callers must not re-filter on ``v IS NOT NULL``:
+    a filter over the normalized column gets pushdown-inlined through both
+    projections into one giant interpreted per-row predicate, the exact
+    explosion this helper exists to avoid).
+
+    The norm is materialized as an intermediate column between two stacked
+    projections (Catalyst keeps them separate — the norm alias is non-cheap
+    and referenced d times), so it is computed ONCE per row; with ``dim``
+    the square-sum and the division both unroll into flat codegen-able
+    arithmetic. Values are bit-identical to ``_unit`` (same fold order,
+    same per-element division). The null/zero filter sits BELOW the
+    normalization on the raw column (cheap O(d) dynamic fold — exactly the
+    rows where sum(x²) > 0 fails, including NULL and NaN, match the old
+    ``v IS NOT NULL`` post-filter)."""
+    raw = df.select(F.col(id_col).alias(id_alias),
+                    F.col(vec_col).cast("array<double>").alias("_raw"))
+    raw = raw.where(vecalg.sq_norm(F.col("_raw")) > 0)
+    staged = raw.select(
+        id_alias, "_raw",
+        F.sqrt(vecalg.sq_norm(F.col("_raw"), dim)).alias("_n"),
+    )
+    n = F.col("_n")
+    dyn = F.transform(F.col("_raw"), lambda x: x / n)
+    if dim is None:
+        div = dyn
+    else:
+        flat = F.array(*[F.col("_raw")[i] / n for i in range(dim)])
+        div = F.when(F.size(F.col("_raw")) == dim, flat).otherwise(dyn)
+    return staged.select(id_alias, F.when(n > 0, div).alias(v_alias))
+
+
+def _dot(a, b, dim: int | None = None):
+    return vecalg.dot(a, b, dim=dim)
 
 
 def ivf_centroid_list(
@@ -171,12 +237,9 @@ def ivf_centroid_list(
         train_sample = 100 * n_cells
     if train_sample < n_cells:
         raise ValueError(f"train_sample ({train_sample}) must be >= n_cells ({n_cells})")
+    dim0 = vecalg.vec_dim(corpus, vec_col)  # picks the codegen unroll; guarded
     sample = (
-        corpus.select(
-            F.col(id_col).alias("_id"),
-            _unit(F.col(vec_col).cast("array<double>")).alias("v"),
-        )
-        .where(F.col("v").isNotNull())
+        _unit_select(corpus, id_col, "_id", vec_col, "v", dim=dim0)
         .withColumn("_h", F.xxhash64(F.lit(seed), F.col("_id")))
         .orderBy("_h", "_id")  # _id tiebreak: stable under hash collisions
         .limit(train_sample)
@@ -223,7 +286,7 @@ def ivf_centroids(
     )
 
 
-def _assign_cells(v: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign_cells(v: DataFrame, cent: DataFrame, dim: int | None = None) -> DataFrame:
     """(id, v) × broadcast(centroids) → nearest cell per vector (max dot on
     unit vectors == max cosine), pure JVM: map-side broadcast join + one
     max_by hash agg (partial combine before the exchange). The contract
@@ -233,38 +296,60 @@ def _assign_cells(v: DataFrame, cent: DataFrame) -> DataFrame:
     n_cells × dim literals into the plan makes Catalyst compile time, not
     execution, the bottleneck — interpreted higher-order funcs over a
     multi-thousand-node tree.)"""
-    j = v.crossJoin(F.broadcast(cent)).withColumn("_d", _dot(F.col("v"), F.col("cvec")))
+    j = v.crossJoin(F.broadcast(cent)).withColumn("_d", _dot(F.col("v"), F.col("cvec"), dim=dim))
     packed = j.groupBy("_id").agg(
         F.max_by(F.struct("cell", "v"), F.struct(F.col("_d"), (-F.col("cell")).alias("_t"))).alias("_r")
     )
     return packed.select("_id", F.col("_r.cell").alias("cell"), F.col("_r.v").alias("v"))
 
 
-def _assign_cells_arrow(v: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """MAP-ONLY cell assignment: vectorized Arrow batches × one numpy
-    dgemm per batch (argmax of X @ Cᵀ). Zero shuffle — at 10^10-corpus
-    scale this removes the full-corpus exchange `_assign_cells` pays for
-    its hash agg, at the cost of an ArrowEvalPython stage (vectorized, no
-    per-row Python). Tiebreak matches _assign_cells: np.argmax takes the
-    first max = lowest cell id (cents are in ascending cell order)."""
+def _assign_cells_arrow(corpus: DataFrame, cents: list[tuple[int, list[float]]],
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """MAP-ONLY unit-normalization + cell assignment over RAW vectors:
+    vectorized Arrow batches × one numpy dgemm per batch (argmax of
+    V @ Cᵀ). Zero shuffle — at 10^10-corpus scale this removes the
+    full-corpus exchange `_assign_cells` pays for its hash agg, at the
+    cost of an ArrowEvalPython stage (vectorized, no per-row Python).
+
+    Takes the raw corpus (not pre-normalized vectors) and returns
+    (_id, cell, v): round-6 change — a JVM-side normalized input column
+    gets pushdown/collapse-inlined into the Python-input projection as one
+    giant per-row expression with the norm re-evaluated per element
+    (O(d²), measured 224 s on a 20k corpus), while computing the norm in
+    numpy with an explicit per-dimension left-assoc fold is bit-identical
+    to the JVM fold and one dgemm away from the cell id. Null/zero-norm
+    rows are dropped below the UDF by the same cheap raw-column filter
+    ``_unit_select`` uses. Tiebreak matches _assign_cells: np.argmax takes
+    the first max = lowest cell id (cents are in ascending cell order)."""
     import numpy as np
     import pandas as pd
 
     C = np.array([c for _, c in cents], dtype=np.float64)
     ids = np.array([i for i, _ in cents], dtype=np.int32)
 
-    def _cell_of(vs):
+    def _norm_assign(vs):
         if len(vs) == 0:
-            return pd.Series([], dtype="int32")
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "v": pd.Series([], dtype="object")})
         X = np.array(vs.tolist(), dtype=np.float64)
-        return pd.Series(ids[np.argmax(X @ C.T, axis=1)])
+        # exact left-assoc fold across dims — bit-identical to the JVM
+        # sum-of-squares fold ((0+x0²)+x1²)+... (each IEEE op is exact-
+        # ordered; no pairwise-summation reordering)
+        acc = np.zeros(len(X), dtype=np.float64)
+        for d in range(X.shape[1]):
+            acc = acc + X[:, d] * X[:, d]
+        n = np.sqrt(acc)
+        V = X / n[:, None]
+        cells = ids[np.argmax(V @ C.T, axis=1)]
+        return pd.DataFrame({"cell": cells, "v": list(V)})
 
-    # explicit annotations (not inline hints): this module's
-    # future-annotations mode stringifies hints, and the locally-imported
-    # pandas name would not resolve during pandas_udf type inference
-    _cell_of.__annotations__ = {"vs": pd.Series, "return": pd.Series}
-    cell_of = F.pandas_udf(_cell_of, "int")
-    return v.withColumn("cell", cell_of(F.col("v")))
+    _norm_assign.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
+    norm_assign = F.pandas_udf(_norm_assign, "cell int, v array<double>")
+    raw = corpus.select(F.col(id_col).alias("_id"),
+                        F.col(vec_col).cast("array<double>").alias("_raw"))
+    raw = raw.where(vecalg.sq_norm(F.col("_raw")) > 0)
+    out = raw.select("_id", norm_assign(F.col("_raw")).alias("_r"))
+    return out.select("_id", F.col("_r.cell").alias("cell"), F.col("_r.v").alias("v"))
 
 
 def ivf_topk(
@@ -296,19 +381,17 @@ def ivf_topk(
     cents = ivf_centroid_list(corpus, id_col, vec_col, n_cells, n_iters, seed, train_sample)
     if not cents:  # empty/degenerate corpus: exact empty result, same schema
         return brute_force_topk(queries, corpus, id_col, vec_col, k)
+    dim = len(cents[0][1])
     cent = corpus.sparkSession.createDataFrame(cents, "cell int, cvec array<double>")
-    c = corpus.select(
-        F.col(id_col).alias("_id"),
-        _unit(F.col(vec_col).cast("array<double>")).alias("v"),
-    ).where(F.col("v").isNotNull())
+    c = _unit_select(corpus, id_col, "_id", vec_col, "v", dim=dim)
     if assign == "join":
-        c_cells = _assign_cells(c, cent)
+        c_cells = _assign_cells(c, cent, dim=dim)
     elif assign == "arrow":
-        c_cells = _assign_cells_arrow(c, cents)
+        c_cells = _assign_cells_arrow(corpus, cents, id_col, vec_col)
     else:
         raise ValueError(f"unknown assign strategy {assign!r} (join | arrow)")
     c_cells = c_cells.select(F.col("_id").alias("neighbor_id"), "cell", F.col("v").alias("cv"))
-    return _ivf_search(queries, c_cells, cent, id_col, vec_col, k, n_probe)
+    return _ivf_search(queries, c_cells, cent, id_col, vec_col, k, n_probe, dim=dim)
 
 
 def _ivf_search(
@@ -319,15 +402,13 @@ def _ivf_search(
     vec_col: str,
     k: int,
     n_probe: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Probe+score stage over a prebuilt inverted file ``c_cells``
     (neighbor_id, cell, cv) — split out so the index builds once and can
     be searched at several probe settings (ivf_auto_probe)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _unit(F.col(vec_col).cast("array<double>")).alias("qv"),
-    ).where(F.col("qv").isNotNull())
-    qc = q.crossJoin(F.broadcast(cent)).withColumn("_d", _dot(F.col("qv"), F.col("cvec")))
+    q = _unit_select(queries, id_col, "query_id", vec_col, "qv", dim=dim)
+    qc = q.crossJoin(F.broadcast(cent)).withColumn("_d", _dot(F.col("qv"), F.col("cvec"), dim=dim))
     wq = Window.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cell"))
     probes = (
         qc.withColumn("_r", F.row_number().over(wq))
@@ -337,7 +418,7 @@ def _ivf_search(
     scored = (
         c_cells.join(F.broadcast(probes), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv"), dim=dim).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -379,18 +460,17 @@ def ivf_auto_probe(
     cents = ivf_centroid_list(corpus, id_col, vec_col, n_cells, n_iters, seed, train_sample)
     if not cents:
         return 1, 1.0  # degenerate corpus: brute-force fallback is exact
+    dim = len(cents[0][1])
     cent = corpus.sparkSession.createDataFrame(cents, "cell int, cvec array<double>")
-    c = corpus.select(
-        F.col(id_col).alias("_id"),
-        _unit(F.col(vec_col).cast("array<double>")).alias("v"),
-    ).where(F.col("v").isNotNull())
-    c_cells = _assign_cells(c, cent) if assign == "join" else _assign_cells_arrow(c, cents)
+    c = _unit_select(corpus, id_col, "_id", vec_col, "v", dim=dim)
+    c_cells = (_assign_cells(c, cent, dim=dim) if assign == "join"
+               else _assign_cells_arrow(corpus, cents, id_col, vec_col))
     c_cells = c_cells.select(
         F.col("_id").alias("neighbor_id"), "cell", F.col("v").alias("cv")
     ).localCheckpoint()
     probe = 1
     while True:
-        approx = _ivf_search(sample_queries, c_cells, cent, id_col, vec_col, k, probe)
+        approx = _ivf_search(sample_queries, c_cells, cent, id_col, vec_col, k, probe, dim=dim)
         r = recall_at_k(approx, exact, k)
         if r >= target_recall or probe >= n_cells:
             return probe, r
@@ -473,12 +553,11 @@ class IvfIndex:
         if not cents:
             raise ValueError("degenerate corpus (no non-null vectors): nothing to index")
         spark = corpus.sparkSession
+        dim = len(cents[0][1])
         cent = spark.createDataFrame(cents, "cell int, cvec array<double>")
-        c = corpus.select(
-            F.col(id_col).alias("_id"),
-            _unit(F.col(vec_col).cast("array<double>")).alias("v"),
-        ).where(F.col("v").isNotNull())
-        c_cells = _assign_cells(c, cent) if assign == "join" else _assign_cells_arrow(c, cents)
+        c = _unit_select(corpus, id_col, "_id", vec_col, "v", dim=dim)
+        c_cells = (_assign_cells(c, cent, dim=dim) if assign == "join"
+                   else _assign_cells_arrow(corpus, cents, id_col, vec_col))
         stage = f"{path.rstrip('/')}.stage-{uuid.uuid4().hex}"
         try:
             (
@@ -556,11 +635,9 @@ class IvfIndex:
         id_col = id_col or self.meta["id_col"]
         vec_col = vec_col or self.meta["vec_col"]
         cent = self._cent(spark)
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            _unit(F.col(vec_col).cast("array<double>")).alias("qv"),
-        ).where(F.col("qv").isNotNull())
-        qc = q.crossJoin(F.broadcast(cent)).withColumn("_d", _dot(F.col("qv"), F.col("cvec")))
+        dim = self.meta.get("dim")
+        q = _unit_select(queries, id_col, "query_id", vec_col, "qv", dim=dim)
+        qc = q.crossJoin(F.broadcast(cent)).withColumn("_d", _dot(F.col("qv"), F.col("cvec"), dim=dim))
         wq = Window.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cell"))
         probes = (
             qc.withColumn("_r", F.row_number().over(wq))
@@ -585,7 +662,7 @@ class IvfIndex:
         scored = (
             inv.join(F.broadcast(probes), "cell")
             .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("cos"))
+            .select("query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv"), dim=dim).alias("cos"))
         )
         w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
         return (
@@ -640,13 +717,11 @@ class IvfIndex:
         id_col = id_col or self.meta["id_col"]
         vec_col = vec_col or self.meta["vec_col"]
         cent = self._cent(spark)
-        c = new_vectors.select(
-            F.col(id_col).alias("_id"),
-            _unit(F.col(vec_col).cast("array<double>")).alias("v"),
-        ).where(F.col("v").isNotNull())
+        dim = self.meta.get("dim")
+        c = _unit_select(new_vectors, id_col, "_id", vec_col, "v", dim=dim)
         assigned = (
-            _assign_cells(c, cent) if self.meta.get("assign", "join") == "join"
-            else _assign_cells_arrow(c, self.centroids)
+            _assign_cells(c, cent, dim=dim) if self.meta.get("assign", "join") == "join"
+            else _assign_cells_arrow(new_vectors, self.centroids, id_col, vec_col)
         )
         name = f"inv-delta-{uuid.uuid4().hex}"
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
