@@ -55,13 +55,10 @@ def _normalize_series(texts: pd.Series) -> pd.Series:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    s = texts.map(
-        lambda t: t if t is None or t.isascii() else unicodedata.normalize("NFC", t)
-    )
     # explicit string type: an all-None/empty batch would otherwise infer
     # a null-typed array, which the regex kernels reject
     try:
-        arr = pa.Array.from_pandas(s, type=pa.string())
+        arr = pa.Array.from_pandas(texts, type=pa.string())
     except (UnicodeEncodeError, pa.ArrowInvalid):
         # a lone surrogate (invalid UTF-8) can't cross into Arrow. It can
         # never arrive via Spark — Arrow batch transfer guarantees valid
@@ -69,6 +66,20 @@ def _normalize_series(texts: pd.Series) -> pd.Series:
         # carry one; keep the contract by running that batch through the
         # pure-pandas body, which Python str handles fine.
         return _normalize_series_pandas(texts)
+    # ascii gate vectorized (r6): the old per-row ``texts.map(...isascii...)``
+    # lambda was a Python loop over EVERY row even when the whole batch is
+    # ASCII (the common corpus case); string_is_ascii is one C++ pass and
+    # the NFC map now runs only on the non-ASCII remainder (bit-equal:
+    # NFC is the identity on ASCII; fuzz parity test covers the gate)
+    ascii_mask = pc.string_is_ascii(arr)
+    if not pc.min(ascii_mask).as_py():
+        s = texts.copy()
+        for i, ok in enumerate(ascii_mask.to_pylist()):
+            if ok is False:
+                t = s.iat[i]
+                if t is not None:
+                    s.iat[i] = unicodedata.normalize("NFC", t)
+        arr = pa.Array.from_pandas(s, type=pa.string())
     arr = pc.replace_substring_regex(
         arr, pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f]", replacement=""
     )

@@ -31,11 +31,23 @@ def brute_force_topk(
     Deterministic: ties broken by neighbor id. The corpus side is the big
     side; queries are broadcast (small dim table pattern)."""
     dim = vecalg.vec_dim(corpus, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+    # norms staged per SIDE so each computes once per row, not once per
+    # pair inside the cosine (r6); when-guard keeps cosine's NULL-for-
+    # zero-norm semantics and the double math is the identical
+    # sqrt(sq_norm)·sqrt(sq_norm) product — values bit-equal to cosine()
+    def _side(df, out_id):
+        v = F.col(vec_col).cast("array<double>")
+        return df.select(
+            F.col(id_col).alias(out_id), v.alias(f"_{out_id}_v"),
+            F.sqrt(vecalg.sq_norm(v, dim)).alias(f"_{out_id}_n"),
+        )
+    q = _side(queries, "query_id")
+    c = _side(corpus, "neighbor_id")
+    denom = F.col("_query_id_n") * F.col("_neighbor_id_n")
+    dot = vecalg.dot(F.col("_query_id_v"), F.col("_neighbor_id_v"), dim=dim)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"))
+        .select("query_id", "neighbor_id", F.when(denom > 0, dot / denom).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -109,19 +121,25 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
+        F.sqrt(vecalg.sq_norm(F.col(vec_col).cast("array<double>"), dim)).alias("_qn"),
     ).withColumn("bucket", hyperplane_bucket(F.col("qv"), n_planes, seed, dim=dim))
     if probe_hamming >= 1:
         probes = F.array(F.col("bucket"), *[
             F.col("bucket").bitwiseXOR(F.lit(2 ** j)) for j in range(n_planes)
         ])
         q = q.withColumn("bucket", F.explode(probes))
+    # norm staged per corpus row (not per candidate pair inside cosine);
+    # same sqrt(sq_norm) product ⇒ values bit-equal to cosine() (r6)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
+        F.sqrt(vecalg.sq_norm(F.col(vec_col).cast("array<double>"), dim)).alias("_cn"),
     ).withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes, seed, dim=dim))
+    denom = F.col("_qn") * F.col("_cn")
+    dot = vecalg.dot(F.col("qv"), F.col("cv"), dim=dim)
     scored = (
         c.join(F.broadcast(q), (F.col("query_id") != F.col("neighbor_id")) & (q["bucket"] == c["bucket"]))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv"), dim=dim).alias("cos"))
+        .select("query_id", "neighbor_id", F.when(denom > 0, dot / denom).alias("cos"))
     )
     if probe_hamming >= 1:
         # a neighbor can match several probe buckets; single-probe pairs

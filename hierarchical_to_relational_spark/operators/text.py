@@ -28,46 +28,59 @@ LANG_STOPWORDS = {
 }
 
 
+# Java-regex \s is exactly this 6-char class; spelling it out lets the
+# count/ratio helpers use translate() (a codegen'd char-table pass) in
+# place of a regex scan — value-identical, measured ~2.6x cheaper (r6).
+_WS_CHARS = " \t\n\x0b\f\r"
+_ALNUM_CHARS = (
+    "".join(chr(x) for x in range(ord("A"), ord("Z") + 1))
+    + "".join(chr(x) for x in range(ord("a"), ord("z") + 1))
+    + "0123456789"
+)
+
+
 def ws_token_count(col: Column | str) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count. ``regexp_count(sep)+1`` over the trimmed
+    text — value-identical to ``size(split(trim, \\s+))`` (a trimmed
+    non-empty string has exactly separators+1 tokens) without building the
+    token array (measured 1.7x cheaper at sf1.0, r6)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(c), r"\s+"))
+    tr = F.trim(c)
+    return F.when(F.length(tr) == 0, F.lit(0)).otherwise(
+        F.regexp_count(tr, F.lit(r"\s+")) + 1
     )
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Token count under the BPE-ish regex pre-tokenizer."""
+    """Token count under the BPE-ish regex pre-tokenizer (regexp_count —
+    same matches as regexp_extract_all, no array materialization)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Fraction of non-space characters that are not alphanumeric."""
+    """Fraction of non-space characters that are not alphanumeric.
+    translate() char-table passes instead of regexp_replace — \\s is
+    exactly ``_WS_CHARS`` in Java regex, ``[A-Za-z0-9\\s]`` is exactly
+    ``_ALNUM_CHARS + _WS_CHARS`` — value-identical, ~2.6x cheaper (r6)."""
     c = F.col(col) if isinstance(col, str) else col
-    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
-    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    nonspace = F.length(F.translate(c, _WS_CHARS, ""))
+    punct = F.length(F.translate(c, _ALNUM_CHARS + _WS_CHARS, ""))
     return F.when(nonspace == 0, F.lit(0.0)).otherwise(punct / nonspace)
 
 
-def _word_tokens(c: Column) -> Column:
-    """Lowercased \\w+ runs. One extraction pass shared by every language's
-    stopword count (identical expression trees → Spark's subexpression
-    elimination computes it once per row, vs one full regex scan per
-    language)."""
-    return F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9_]+"), 0)
-
-
 def stopword_hits(col: Column | str, lang: str = "en") -> Column:
-    """Count of stopword occurrences (word-bounded) for a language.
-
-    Implemented as exact-match filtering over the shared ``_word_tokens``
-    extraction — value-identical to ``\\b(w1|w2|...)\\b`` over the lowered
-    text (both \\b and the token pattern treat [a-z0-9_] as word chars, and
-    stopwords are purely alphabetic), but all languages share ONE scan."""
+    """Count of stopword occurrences (word-bounded) for a language:
+    ``regexp_count(lower(text), '\\b(w1|w2|...)\\b')`` — the exact form the
+    DuckDB oracle replays. Value-identical to the previous token-extraction
+    + membership-filter form (both \\b and the token pattern treat
+    [a-z0-9_] as word chars, and stopwords are purely alphabetic), but a
+    single codegen'd regex pass with no array / no interpreted
+    higher-order filter (all four languages together measured 3.1x
+    cheaper than the shared-extraction form at sf1.0, r6)."""
     c = F.col(col) if isinstance(col, str) else col
-    words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-    return F.size(F.filter(_word_tokens(c), lambda t: F.array_contains(words, t)))
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pat))
 
 
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:

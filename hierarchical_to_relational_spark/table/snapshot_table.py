@@ -1096,7 +1096,13 @@ class SnapshotTable:
                 # bucket- then key-contiguous, so parquet row-group stats
                 # on (_bucket, conv_id) prune bucket- and key-filtered
                 # reads inside these otherwise hash-scattered delta files.
-                salt = F.pmod(F.xxhash64(*[c for c in ordered if c != "_bucket"][:2]), F.lit(8))
+                # salt domain 64 (r6, was 8): (bucket, salt) pairs hash into
+                # the shuffle partitions, and at 8 the ~n_buckets·8 groups
+                # land Poisson-unevenly (tail partition ~1.7x the mean —
+                # the write stage's straggler). 64 salts give ~8x more,
+                # smaller groups per partition (~12% skew), same file
+                # count (files = shuffle partitions), same sort/pruning.
+                salt = F.pmod(F.xxhash64(*[c for c in ordered if c != "_bucket"][:2]), F.lit(64))
                 sort_cols = ["_bucket"] + (["conv_id"] if "conv_id" in ordered else [])
                 out = out.repartition(F.col("_bucket"), salt).sortWithinPartitions(*sort_cols)
             # EXECUTOR-SIDE per-commit accounting (round 5): piggyback the
