@@ -131,8 +131,16 @@ def normalize_envelopes(
                 previous value" (merge-patch, the shape real CDC feeds send
                 for column-subset updates). Resolution semantics live in
                 operators.merge.resolve / collapse_patches.
-      deletes — ``(conv_id, _lsn)``: max delete LSN per conversation
-                (whole-conversation tombstone watermark).
+      deletes — ``(conv_id, _lsn)``: one row per delete EVENT
+                (whole-conversation tombstone). Not pre-aggregated (r6):
+                the per-conversation max is folded by ``resolve``'s
+                tombstone aggregation anyway (max is associative and
+                order-insensitive), and the old per-batch ``groupBy max``
+                bought nothing except an extra exchange + AQE stage
+                barrier in EVERY micro-batch's write job — the tombstone
+                leg now rides the same map stage as the upsert leg.
+                Duplicate / multiple delete rows per conversation are
+                collapsed by resolution exactly like duplicate upserts.
     """
     tfields = turn_fields(envelopes)
     upserts = (
@@ -156,9 +164,7 @@ def normalize_envelopes(
     out_cols = ["conv_id"] + [f.name for f in tfields] + [META_LSN, META_TS, META_OP]
     upserts = upserts.select(*out_cols)
 
-    deletes = (
-        envelopes.where(F.col("op") == "delete")
-        .groupBy("conv_id")
-        .agg(F.max("lsn").alias(META_LSN))
+    deletes = envelopes.where(F.col("op") == "delete").select(
+        "conv_id", F.col("lsn").alias(META_LSN)
     )
     return upserts, deletes

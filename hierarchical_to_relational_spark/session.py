@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # shuffle/spill codec (r6): zstd cuts the CDC write shuffle from
+        # 72.5 to 44.7 bytes/row (-38%, measured via event-log Shuffle
+        # Bytes Written on identical batches) at Spark's fast zstd level 1.
+        # Locally the wall-clock is parity-to-better (host steal makes the
+        # wall comparison noisy); at cluster scale shuffle bytes cross the
+        # network once (guide §2.1), so the byte cut is the durable win.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "zstd"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
