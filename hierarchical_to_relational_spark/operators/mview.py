@@ -304,9 +304,19 @@ def refresh_dag(views: list[ConvAggregateView]) -> list[dict]:
     and downstream levels run after their upstreams committed — so one
     call propagates a change wave through the whole DAG. Views whose
     source is an unrelated table simply land in level 0. Returns one
-    report per view, in INPUT order. Raises on a cycle (impossible to
-    build with this API, but a hand-wired loop should fail loudly, not
-    recurse forever)."""
+    report per view, in INPUT order (a view passed more than once
+    refreshes ONCE and its report repeats at every position). Raises on
+    a cycle (impossible to build with this API, but a hand-wired loop
+    should fail loudly, not recurse forever)."""
+    order: list[int] = []      # input position -> unique-view position
+    uniq: list[ConvAggregateView] = []
+    first_pos: dict[int, int] = {}
+    for v in views:
+        if id(v) not in first_pos:
+            first_pos[id(v)] = len(uniq)
+            uniq.append(v)
+        order.append(first_pos[id(v)])
+    views = uniq
     idx = {id(v): i for i, v in enumerate(views)}
 
     def depth(v: ConvAggregateView, seen: tuple = ()) -> int:
@@ -329,7 +339,7 @@ def refresh_dag(views: list[ConvAggregateView]) -> list[dict]:
         for group in groups.values():
             for v, rep in zip(group, refresh_many(group)):
                 reports[idx[id(v)]] = rep
-    return [reports[i] for i in range(len(views))]
+    return [reports[j] for j in order]
 
 
 def refresh_many(views: list[ConvAggregateView]) -> list[dict]:

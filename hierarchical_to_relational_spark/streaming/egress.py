@@ -202,21 +202,49 @@ class ChangeFollower:
         return out
 
     @staticmethod
+    def _hashable_cols(df) -> list[str]:
+        """Columns xxhash64 can digest: Spark's hash expressions reject
+        MapType anywhere in the type (top-level or nested) unless a
+        legacy flag is on. Fixed column ORDER (schema order) on purpose:
+        write-side journal stats and audit recompute both go through
+        this one helper, so the fingerprint stays comparable."""
+        from pyspark.sql import types as T
+
+        def has_map(dt) -> bool:
+            if isinstance(dt, T.MapType):
+                return True
+            if isinstance(dt, T.ArrayType):
+                return has_map(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return any(has_map(f.dataType) for f in dt.fields)
+            return False
+
+        return [f.name for f in df.schema.fields if not has_map(f.dataType)]
+
+    @staticmethod
     def _window_stats(df) -> dict:
         """Audit fingerprint of one change window: op counts plus an
         ORDER-INSENSITIVE content hash (exact decimal sum of per-row
-        xxhash64 over every column — commutative, so repartitioning or
-        file order can't change it; decimal so ANSI sum can't overflow).
-        One single-pass aggregate — it replaces the old per-op groupBy."""
+        xxhash64 over every hashABLE column — commutative, so
+        repartitioning or file order can't change it; decimal so ANSI
+        sum can't overflow). Map-typed columns are excluded (xxhash64
+        would fail analysis and take poll_once down with it); a schema
+        with NO hashable columns degrades to counts-only stats. One
+        single-pass aggregate — it replaces the old per-op groupBy."""
         from pyspark.sql import functions as F
 
-        r = df.agg(
+        cols = ChangeFollower._hashable_cols(df)
+        aggs = [
             F.sum(F.when(F.col("change_op") == "u", 1).otherwise(0)).alias("u"),
             F.sum(F.when(F.col("change_op") == "d", 1).otherwise(0)).alias("d"),
-            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return {"upserts": int(r["u"] or 0), "deletes": int(r["d"] or 0),
-                "hash": str(r["h"]) if r["h"] is not None else None}
+        ]
+        if cols:
+            aggs.append(F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"))
+        r = df.agg(*aggs).collect()[0]
+        out = {"upserts": int(r["u"] or 0), "deletes": int(r["d"] or 0)}
+        if cols:
+            out["hash"] = str(r["h"]) if r["h"] is not None else None
+        return out
 
     def audit_exports(self, recompute_retired: bool = False) -> list[dict]:
         """Downstream-audit pass over the export stream: for every

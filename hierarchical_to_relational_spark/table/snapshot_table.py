@@ -563,9 +563,11 @@ class SnapshotTable:
         log (so the branch's history starts retained even after main
         expires that version — its data dirs stay GC-referenced through
         the branch log), the fork's live map is pinned in ``_branch.json``
-        (the merge base), and main's committed batch-id set is seeded into
-        the branch ledger so exactly-once holds across the fork: a batch
-        already applied to main replays as a no-op on the branch too."""
+        (the merge base), and the batch ids main had committed AS OF the
+        fork version are seeded into the branch ledger so exactly-once
+        holds across the fork: a batch in the branch's lineage replays as
+        a no-op, while a batch main committed only AFTER the fork point
+        still applies to the branch (it was never part of its state)."""
         if self.branch is not None:
             raise ValueError("branch-off-branch is not supported; fork from main")
         if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
@@ -585,12 +587,35 @@ class SnapshotTable:
                        "fork_live": fork["live"],
                        "fork_n_buckets": fork["n_buckets"],
                        "created_at": time.time()}, f)
-        # seed exactly-once: the branch inherits every id main had
-        # committed by fork time (ledger write, same bounded form)
-        ids = self.committed_batch_ids()
-        br._write_ledger(
-            CommittedIds(set(ids.ids), ids.numeric_floor), expired_through=None
-        )
+        # seed exactly-once AS OF THE FORK POINT: only ids from snapshots
+        # <= the fork version (plus the expiration ledger, whose ids all
+        # belong to expired — hence older — snapshots). Seeding ALL of
+        # main's current ids would make a batch main committed AFTER the
+        # fork silently no-op on the branch even though the branch's
+        # lineage never contained it (a silent data skip in the
+        # fork-at-older-version hotfix flow). Caveat, documented: the
+        # ledger has no per-id version provenance, so forking at an old
+        # TAG that survived expiration of NEWER snapshots inherits those
+        # expired post-fork ids too — unavoidable without a versioned
+        # ledger, and impossible in the ordinary retain-last flow.
+        ids = CommittedIds()
+        led_vs = self._ledger_versions()
+        if led_vs:
+            try:
+                with open(self._ledger_file(led_vs[-1])) as f:
+                    led = json.load(f)
+                ids.numeric_floor = led["numeric_floor"]
+                ids.ids.update(led["ids"])
+            except FileNotFoundError:
+                pass  # pruned under us; ids below come from snapshots
+        for ver in self._versions():
+            if ver <= v:
+                try:
+                    ids.add(self.snapshot(ver)["batch_id"])
+                except FileNotFoundError:
+                    continue  # racing expiration: id is in the ledger
+        ids.compact()
+        br._write_ledger(ids, expired_through=None)
         br._write_snapshot({**fork, "branch": name})
         return br
 
@@ -626,6 +651,28 @@ class SnapshotTable:
         if self.branch is not None:
             raise ValueError("merge_branch must be called on the main table")
         if batch_id in self.committed_batch_ids():
+            # Merge already committed. A crash BETWEEN _commit and the
+            # ledger fold below would have left the branch's batch ids
+            # out of main's ledger (a replay of a branch batch would then
+            # re-commit against main); recovery is deterministic — on
+            # merge replay, repair the fold before no-op'ing. Skipped
+            # when the fold is provably durable (all ids present) or the
+            # branch log is already gone (dropped after a healthy merge).
+            try:
+                br = self.branch_table(name)
+            except KeyError:
+                return False
+            br_ids = br.committed_batch_ids()
+            main_ids = self.committed_batch_ids()
+            if (br_ids.numeric_floor > main_ids.numeric_floor
+                    or any(i not in main_ids for i in br_ids.ids)):
+                self._write_ledger(
+                    CommittedIds(set(br_ids.ids), br_ids.numeric_floor),
+                    expired_through=None,
+                )
+                self._ids_cache = CommittedIds()
+                self._ids_scanned_to = -1
+                self._ledger_stamp = None
             return False
         br = self.branch_table(name)
         meta = br.branch_meta()
@@ -635,7 +682,10 @@ class SnapshotTable:
         if br_snap["n_buckets"] != meta["fork_n_buckets"]:
             raise BranchDivergedError(
                 f"branch {name!r} was rebucketed since fork; merge manually")
-        schema = _union_schema(self.schema(), br_schema)
+        # callable: _commit re-resolves per retry attempt, so losing the
+        # pointer race to a concurrent schema evolution on main can't
+        # publish a stale union that reverts the winner's columns
+        schema = lambda: _union_schema(self.schema(), br_schema)  # noqa: E731
         br_live = br_snap["live"]
         br_bytes = br_snap.get("commit_bytes", {})
 
@@ -1496,7 +1546,7 @@ class SnapshotTable:
     def _commit(
         self,
         batch_id: str,
-        schema: T.StructType,
+        schema,  # StructType, or a () -> StructType re-resolved per attempt
         update_live,
         commit_meta: tuple[str, dict] | None = None,
         retries: int = 20,
@@ -1528,6 +1578,12 @@ class SnapshotTable:
             if batch_id in self.committed_batch_ids():
                 return False
             cur = self.snapshot()
+            # schema may be a callable: re-resolved EVERY attempt so a
+            # commit that loses the pointer race to a concurrent schema
+            # evolution folds the winner's columns in instead of
+            # publishing a stale schema (merge_branch's union is the case
+            # that needs this — update_live is already per-attempt).
+            resolved_schema = schema() if callable(schema) else schema
             new_live = update_live({b: list(ds) for b, ds in cur["live"].items()})
             referenced = {d for ds in new_live.values() for d in ds}
             prev_bytes = cur.get("commit_bytes", {})
@@ -1544,7 +1600,7 @@ class SnapshotTable:
                 "batch_id": batch_id,
                 "kind": kind,
                 "committed_at": time.time(),
-                "schema": schema.json(),
+                "schema": resolved_schema.json(),
                 "n_buckets": n_buckets_override if n_buckets_override is not None else cur["n_buckets"],
                 "index_cols": (index_cols_override if index_cols_override is not None
                                else cur.get("index_cols", [])),

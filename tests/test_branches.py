@@ -146,3 +146,96 @@ def test_merge_folds_branch_ids_into_main_ledger(spark, tmp_path):
     assert t.commit_append(
         _bucketed(spark, t, [("x", 999)]), "staged-batch") is False
     assert _state(spark, t) == {("a", 1), ("x", 2)}
+
+
+def test_fork_at_older_version_applies_post_fork_batches(spark, tmp_path):
+    """ADVICE r5: the branch ledger must seed only ids committed AS OF the
+    fork version — a batch main committed AFTER the fork point was never
+    part of the branch's lineage, so applying it to the branch must be a
+    real commit, not a silent no-op (the hotfix-fork data-skip bug)."""
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    t.commit_append(_bucketed(spark, t, [("a", 1)]), "pre-fork")
+    v_fork = t.current_version()
+    t.commit_append(_bucketed(spark, t, [("b", 2)]), "post-fork")
+    br = t.create_branch("hotfix", from_version=v_fork)
+    assert _state(spark, br) == {("a", 1)}
+    # pre-fork id still no-ops on the branch (exactly-once across fork)
+    assert br.commit_append(_bucketed(spark, br, [("a", 999)]), "pre-fork") is False
+    # post-fork id APPLIES: the branch never contained it
+    assert br.commit_append(_bucketed(spark, br, [("b", 20)]), "post-fork") is True
+    assert _state(spark, br) == {("a", 1), ("b", 20)}
+    # and main is untouched by either
+    assert _state(spark, t) == {("a", 1), ("b", 2)}
+
+
+def test_merge_replay_repairs_lost_ledger_fold(spark, tmp_path):
+    """ADVICE r5: a crash between merge_branch's _commit and its ledger
+    fold loses the fold; the replay (same batch_id) must repair it before
+    no-op'ing, so a staged branch batch can never re-commit against main."""
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    t.commit_append(_bucketed(spark, t, [("a", 1)]), "base")
+    br = t.create_branch("exp")
+    br.commit_append(_bucketed(spark, br, [("x", 2)]), "staged-batch")
+
+    real = t._write_ledger
+
+    def crash(ids, expired_through=None):
+        raise RuntimeError("crash between _commit and ledger fold")
+
+    t._write_ledger = crash
+    with pytest.raises(RuntimeError, match="crash between"):
+        t.merge_branch("exp", "merge-crash")
+    del t._write_ledger  # restore the bound method
+    assert real == t._write_ledger
+
+    # the merge snapshot committed, but the fold was lost: a fresh handle
+    # does NOT see the staged branch id as committed on main yet
+    t2 = SnapshotTable(str(tmp_path / "t"))
+    assert "merge-crash" in t2.committed_batch_ids()
+    assert "staged-batch" not in t2.committed_batch_ids()
+
+    # merge replay: no-op on state, but deterministically repairs the fold
+    assert t2.merge_branch("exp", "merge-crash") is False
+    assert "staged-batch" in t2.committed_batch_ids()
+    assert t2.commit_append(
+        _bucketed(spark, t2, [("x", 999)]), "staged-batch") is False
+    assert _state(spark, t2) == {("a", 1), ("x", 2)}
+    # replay with a healthy ledger does not keep rewriting it
+    v_led = t2._ledger_versions()
+    assert t2.merge_branch("exp", "merge-crash") is False
+    assert t2._ledger_versions() == v_led
+
+
+def test_merge_retry_folds_concurrent_schema_evolution(spark, tmp_path):
+    """ADVICE r5: merge_branch's union schema is re-resolved on every
+    commit attempt — losing the pointer race to a concurrent widening on
+    main must not publish a stale union that reverts the new column."""
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    t.commit_append(_bucketed(spark, t, [("a", 1)]), "base")
+    br = t.create_branch("exp")
+    br.commit_append(_bucketed(spark, br, [("x", 2)]), "br-delta")
+
+    wide = T.StructType(list(SCHEMA.fields) +
+                        [T.StructField("w", T.StringType(), True)])
+    raced = {"done": False}
+    real_write = t._write_snapshot
+
+    def racing_write(snap):
+        if not raced["done"]:
+            raced["done"] = True
+            # a concurrent committer wins the version race with a schema
+            # evolution while our merge is mid-commit
+            other = SnapshotTable(str(tmp_path / "t"))
+            assert other._commit("race-evolve", wide,
+                                 lambda live: live, kind="evolve") is True
+        return real_write(snap)
+
+    t._write_snapshot = racing_write
+    try:
+        assert t.merge_branch("exp", "merge-raced") is True
+    finally:
+        del t._write_snapshot
+    assert raced["done"]
+    # the published schema carries BOTH the merge union and the racer's column
+    assert [f.name for f in t.schema().fields] == ["k", "v", "w"]
+    assert _state(spark, t) == {("a", 1), ("x", 2)}

@@ -529,3 +529,30 @@ def test_audit_recomputes_retired_windows(spark, tmp_path):
     bad = f.audit_exports(recompute_retired=True)
     assert len(bad) == 1 and bad[0]["from"] == p1["from"]
     assert bad[0]["path"] is None and "unverifiable" not in bad[0]
+
+
+def test_window_stats_guard_map_columns(spark):
+    """ADVICE r5: xxhash64 rejects MapType (top-level or nested) at
+    analysis time — the window fingerprint must skip such columns so
+    poll_once itself can't be taken down by an exotic schema, degrading
+    to counts-only when nothing is hashable."""
+    df = spark.createDataFrame(
+        [("u", {"a": 1}), ("d", {"b": 2}), ("u", {"c": 3})],
+        "change_op string, attrs map<string,int>")
+    # map column excluded, the string column still hashes
+    assert ChangeFollower._hashable_cols(df) == ["change_op"]
+    stats = ChangeFollower._window_stats(df)
+    assert stats["upserts"] == 2 and stats["deletes"] == 1
+    assert stats["hash"] is not None
+
+    # nested maps (array<map>, struct<... map ...>) are excluded too
+    nested = spark.createDataFrame(
+        [("u", [{"a": 1}], ({"b": 2},))],
+        "change_op string, am array<map<string,int>>, "
+        "sm struct<m: map<string,int>>")
+    assert ChangeFollower._hashable_cols(nested) == ["change_op"]
+
+    # stats computed over a map-bearing window journal the same counts a
+    # map-free schema would — and audit recomputes through the same
+    # helper, so write and audit stay comparable
+    assert ChangeFollower._window_stats(nested)["upserts"] == 1

@@ -383,3 +383,27 @@ def test_refresh_dag_propagates_one_wave(spark, tmp_path):
     a._source = b
     with pytest.raises(ValueError, match="cycle"):
         refresh_dag([a, b])
+
+
+def test_refresh_dag_duplicate_view_instance_refreshes_once(spark, tmp_path):
+    """ADVICE r5: the same view instance passed twice used to KeyError
+    (reports were keyed by id(view)) after double-refreshing it; now the
+    input is deduped by identity — one refresh, report repeated."""
+    from hierarchical_to_relational_spark.operators.mview import refresh_dag
+
+    pipe = CdcPipeline(spark, str(tmp_path / "bl"), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), n_buckets=2, text_mode="none")
+    pipe.apply_batch(_env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "a0", None)]),
+    ]), "b0")
+    v = ConvAggregateView(spark, pipe.table, str(tmp_path / "mv"))
+    reps = refresh_dag([v, v, v])
+    # one real refresh (a double refresh would report noop at position 0)
+    assert [r["mode"] for r in reps] == ["full", "full", "full"]
+    assert reps[0] == reps[1] == reps[2]
+    pipe.apply_batch(_env_rows(spark, [
+        (2, "update", "cA", [(0, "user", "a0-upd", None)]),
+    ]), "b1")
+    reps = refresh_dag([v, v])
+    assert [r["mode"] for r in reps] == ["incremental", "incremental"]
+    assert _mv_state(v) == _recompute(spark, pipe.table)
