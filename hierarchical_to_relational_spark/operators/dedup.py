@@ -72,8 +72,15 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (id1 < id2, J ≥ threshold) via a
-    shingle self-join: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|."""
-    post = shingle_postings(df, id_col, text_col, k)
+    shingle self-join: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
+
+    The self-join is hinted SHUFFLE_HASH (r6, same pathology as
+    minhash_lsh_pairs): both sides then shuffle on the identical shingle
+    key and AQE reuses the first side's shuffle stage for the second, so
+    the postings pipeline (explode + substr + distinct over every
+    shingle) computes ONCE. The unhinted plan broadcast one side, which
+    has no exchange to reuse — the whole upstream ran twice."""
+    post = shingle_postings(df, id_col, text_col, k).hint("shuffle_hash")
     sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = post.alias("a")
     b = post.alias("b")

@@ -174,7 +174,7 @@ def apply_cdc_batch(
     spark: SparkSession,
     table: SnapshotTable,
     upserts: DataFrame,
-    deletes: DataFrame,
+    deletes: DataFrame | None,
     batch_id: str,
     mode: str = "mor",
     collect_stats: bool = True,
@@ -182,7 +182,12 @@ def apply_cdc_batch(
     """Apply one normalized change batch to the table, exactly-once.
 
     upserts: conv_id, <turn columns...>, _lsn, _commit_ts  (from normalize)
-    deletes: conv_id, _lsn  (max delete LSN per conversation in this batch)
+    deletes: conv_id, _lsn — one row per delete event; or ``None`` when
+             ``upserts`` is the FUSED frame from
+             ``normalize_envelopes_fused`` (r6): its _op='d' rows already
+             carry the tombstone shape (null payload/_commit_ts), so the
+             whole batch is one projection over one scan — no union of a
+             second delete-leg scan of the same source.
 
     Widens the target schema first if the batch is additively wider; the
     commit (append or bucket-rewrite per ``mode``) is idempotent on
@@ -243,8 +248,11 @@ def apply_cdc_batch(
         else:  # older-schema batches: null-fill evolved cols
             ups_cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
     ups = upserts.select(*ups_cols)
-    dels = deletes.withColumn(META_BUCKET, bucket_of(F.col("conv_id")))
-    batch = ups.unionByName(_tombstone_rows(dels, schema))
+    if deletes is None:
+        batch = ups  # fused frame: tombstone rows are already inline
+    else:
+        dels = deletes.withColumn(META_BUCKET, bucket_of(F.col("conv_id")))
+        batch = ups.unionByName(_tombstone_rows(dels, schema))
 
     # stats (rows, max applied LSN, tombstone/upsert counts) come from the
     # written files' parquet footers — no extra Spark job (collect_stats

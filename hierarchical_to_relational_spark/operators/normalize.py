@@ -186,3 +186,54 @@ def normalize_envelopes(
         "conv_id", F.col("lsn").alias(META_LSN)
     )
     return upserts, deletes
+
+
+def normalize_envelopes_fused(
+    envelopes: DataFrame,
+    text_mode: str = "builtin",  # "builtin" | "arrow" | "none"
+) -> DataFrame:
+    """ONE-SCAN variant of ``normalize_envelopes`` (r6): upsert turn rows
+    AND delete tombstone rows come out of a single projection over a
+    single pass of the envelope source, ``_op`` ∈ {'u','p','d'}. The
+    two-frame form unions two scan legs of the same segment files (the
+    delete leg narrow but still a second parquet read + a second source in
+    every streaming micro-batch); here delete events explode a one-element
+    null-turn array instead, so each yields exactly one row with every
+    turn column null — bit-identical to ``_tombstone_rows``'s shape
+    (null payload, null ``_commit_ts``, ``_lsn`` = the delete LSN).
+    Row-level semantics are pinned equal to the two-frame form by test:
+    upserts explode per turn (events with empty/null turn arrays drop),
+    patches keep ``_op='p'``, duplicate deletes stay duplicate rows (the
+    resolve tombstone max folds them, associatively, same as before).
+
+    Feed the result to ``apply_cdc_batch(..., deletes=None)``."""
+    tfields = turn_fields(envelopes)
+    turn_elem = envelopes.schema["payload"].dataType["turns"].dataType.elementType
+    ts_type = envelopes.schema["commit_ts"].dataType
+    one_null_turn = F.array(F.lit(None).cast(turn_elem))
+    rows = (
+        envelopes.select(
+            F.col("conv_id"),
+            F.col("lsn").alias(META_LSN),
+            F.when(F.col("op") == "delete", F.lit(None).cast(ts_type))
+            .otherwise(F.col("commit_ts")).alias(META_TS),
+            F.when(F.col("op") == "delete", F.lit("d"))
+            .when(F.col("op") == "patch", F.lit("p"))
+            .otherwise(F.lit("u")).alias(META_OP),
+            F.explode(
+                F.when(F.col("op") == "delete", one_null_turn)
+                .otherwise(F.col("payload.turns"))
+            ).alias("t"),
+        )
+        .select("conv_id", META_LSN, META_TS, META_OP, "t.*")
+    )
+    if text_mode == "arrow":
+        # null text on tombstone rows passes through as null (RE2 kernels
+        # and the NFC gate are null-propagating), so one UDF covers all ops
+        rows = rows.withColumn("text", normalize_text_arrow(F.col("text")))
+    elif text_mode == "builtin":
+        rows = rows.withColumn("text", normalize_text_builtin(F.col("text")))
+    elif text_mode != "none":
+        raise ValueError(f"unknown text_mode {text_mode!r}")
+    out_cols = ["conv_id"] + [f.name for f in tfields] + [META_LSN, META_TS, META_OP]
+    return rows.select(*out_cols)

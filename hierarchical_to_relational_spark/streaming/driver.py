@@ -29,7 +29,10 @@ from hierarchical_to_relational_spark.operators.merge import (
     compact_pressured,
     table_schema_for,
 )
-from hierarchical_to_relational_spark.operators.normalize import normalize_envelopes, turn_fields
+from hierarchical_to_relational_spark.operators.normalize import (
+    normalize_envelopes_fused,
+    turn_fields,
+)
 from hierarchical_to_relational_spark.sources import binlog as binlog_source
 from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
 
@@ -137,9 +140,11 @@ class CdcPipeline:
 
     # -- one micro-batch (also usable standalone for pure batch ingest) --
     def apply_batch(self, envelopes: DataFrame, batch_id: int | str) -> dict:
-        upserts, deletes = normalize_envelopes(envelopes, text_mode=self.text_mode)
+        # fused single-scan normalize (r6): upsert + tombstone rows from
+        # ONE pass over the segment files instead of two scan legs
+        batch = normalize_envelopes_fused(envelopes, text_mode=self.text_mode)
         metrics = apply_cdc_batch(
-            self.spark, self.table, upserts, deletes, batch_id=str(batch_id),
+            self.spark, self.table, batch, None, batch_id=str(batch_id),
             mode=self.mode, collect_stats=self.collect_stats,
         )
         # merge-on-read: fold deltas down once they stack too deep (count

@@ -815,3 +815,69 @@ def test_csv_binlog_embedded_newlines(spark, tmp_path):
     pipe2.run_stream(max_files_per_trigger=1)
     got2 = {(r["conv_id"], r["text"]) for r in read_transcripts(spark, pipe2.table).collect()}
     assert got2 == got
+
+
+def test_fused_normalize_equals_two_frame_form(spark, tmp_path):
+    """r6 single-scan normalize: the fused frame (upserts + inline
+    tombstone rows, _op ∈ u/p/d) must be row-for-row identical to the
+    legacy two-frame form unioned through apply_cdc_batch's tombstone
+    shaping — across text modes and the edge cases (duplicate deletes,
+    empty turn arrays dropping, a delete that still carries turns)."""
+    from pyspark.sql import functions as F
+
+    from hierarchical_to_relational_spark.operators.merge import (
+        apply_cdc_batch,
+        read_transcripts,
+        table_schema_for,
+    )
+    from hierarchical_to_relational_spark.operators.normalize import (
+        META_LSN,
+        META_OP,
+        META_TS,
+        normalize_envelopes,
+        normalize_envelopes_fused,
+        turn_fields,
+    )
+    from hierarchical_to_relational_spark.table.snapshot_table import SnapshotTable
+    from pyspark.sql import types as T
+
+    env = _env_rows(spark, [
+        (1, "insert", "cA", [(0, "user", "  hello\t world ", None),
+                             (1, "assistant", "hi", "bash")]),
+        (2, "patch", "cA", [(0, None, "h\x01i", None)]),
+        (3, "delete", "cB", None),
+        (4, "delete", "cB", None),                  # duplicate delete
+        (5, "insert", "cC", []),                    # empty turns → drops
+        (6, "update", "cC", [(0, "user", None, None)]),
+        (7, "delete", "cA", [(0, "x", "y", "z")]),  # delete carrying turns
+    ])
+    for mode in ("none", "builtin", "arrow"):
+        ups, dels = normalize_envelopes(env, text_mode=mode)
+        types = {f.name: f.dataType for f in ups.schema.fields}
+        tomb = dels.select(
+            "conv_id",
+            *[F.lit(None).cast(types[c]).alias(c) for c in ups.columns
+              if c not in ("conv_id", META_LSN, META_TS, META_OP)],
+            F.col(META_LSN),
+            F.lit(None).cast("timestamp").alias(META_TS),
+            F.lit("d").alias(META_OP),
+        ).select(*ups.columns)
+        legacy = ups.unionByName(tomb)
+        fused = normalize_envelopes_fused(env, text_mode=mode)
+        assert fused.exceptAll(legacy).count() == 0, mode
+        assert legacy.exceptAll(fused).count() == 0, mode
+
+    # end-to-end: two tables, one applied two-frame, one fused — the
+    # stored state must be frame-equal
+    base_cols = [T.StructField("conv_id", T.StringType(), False)] + turn_fields(env)
+    t_leg = SnapshotTable.create(str(tmp_path / "legacy"),
+                                 table_schema_for(base_cols), n_buckets=4)
+    t_fus = SnapshotTable.create(str(tmp_path / "fused"),
+                                 table_schema_for(base_cols), n_buckets=4)
+    ups, dels = normalize_envelopes(env, text_mode="none")
+    apply_cdc_batch(spark, t_leg, ups, dels, batch_id="b0")
+    apply_cdc_batch(spark, t_fus, normalize_envelopes_fused(env, text_mode="none"),
+                    None, batch_id="b0")
+    a = read_transcripts(spark, t_leg)
+    b = read_transcripts(spark, t_fus)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
