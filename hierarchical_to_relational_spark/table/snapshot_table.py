@@ -57,6 +57,7 @@ import shutil
 import time
 import uuid
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 SNAPSHOT_DIR = "_snapshots"
@@ -189,6 +190,19 @@ def _bloom_maybe(bloom: dict, v, xxh64) -> bool:
         if not (bits[j >> 3] >> (j & 7)) & 1:
             return False
     return True
+
+
+class _ListAccumulatorParam(AccumulatorParam):
+    """Accumulator param collecting lists of small tuples (the fold-mode
+    bloom payloads: (partition_id, col, m, k, b64) — a few hundred bytes
+    per written file). Module-level so executors can unpickle it."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
 
 
 def _widens(frm: T.DataType, to: T.DataType) -> bool:
@@ -356,11 +370,21 @@ class SnapshotTable:
         # min-max sidecar comes from parquet FOOTERS only (metadata pages,
         # ~5 ms), never data pages.
         self.stats_mode: str = "auto"
-        # secondary-index bloom build: "pyarrow" (driver column read,
-        # fastest on local roots), "spark" (executor-side applyInPandas —
-        # the only path that keeps remote roots off the driver), "auto"
-        # (locality rule, like stats_mode). Both produce bit-identical
-        # sidecars (tested).
+        # secondary-index bloom build: "fold" (r6 default: built INSIDE
+        # the write job via a mapInArrow pass-through — the indexed
+        # commit makes ONE pass over the batch, nothing is re-read, and
+        # the bloom hashing is distributed across the write tasks),
+        # "pyarrow" (driver column re-read + DRIVER-side build: fine for
+        # tiny distinct sets, single-threaded disaster for the hash-like
+        # high-cardinality columns the index exists for), "spark"
+        # (executor-side applyInPandas RE-READ of the commit — superseded
+        # by fold, kept selectable), "auto" (= fold). 10^6-row commit,
+        # warm, local[32] (unindexed baseline ~1.0-1.2 s): 10^6-distinct
+        # index col — fold 2.4 s, spark 4.4-4.7 s, pyarrow 18.5-20.3 s;
+        # 64-distinct col — fold 1.57-1.59 s, pyarrow 1.63-1.65 s, spark
+        # 1.9-2.1 s. Fold also never re-reads the commit, which on an
+        # object store is remote I/O on the commit hot path. All paths
+        # produce bit-identical sidecars (tested).
         self.bloom_mode: str = "auto"
 
     # ---------- snapshot log ----------
@@ -1193,6 +1217,18 @@ class SnapshotTable:
                                                  F.col("_lsn"))).alias(f"l{k}"))
                 obs = Observation()
                 out = out.observe(obs, *aggs)
+            # secondary-index blooms, resolved BEFORE the write so fold
+            # mode can ride the write job itself (ONE pass over the batch)
+            index_cols = [c for c in self.snapshot().get("index_cols", [])
+                          if c in schema.fieldNames()]
+            bmode = self.bloom_mode
+            if index_cols and bmode == "auto":
+                # fold wins or ties in every measured regime (see the
+                # bloom_mode comment) and never re-reads the commit
+                bmode = "fold"
+            bloom_acc = None
+            if index_cols and bmode == "fold":
+                out, bloom_acc = self._attach_bloom_fold(out, index_cols)
             writer = out.write.mode("overwrite")
             if cluster_by is None:
                 # hash-ordered writes (appends / CoW batches): key bloom
@@ -1222,16 +1258,10 @@ class SnapshotTable:
         # read-side file pruning reads this tiny JSON instead of footers.
         # Lives inside the commit dir ("_"-prefixed → invisible to Spark
         # scans) so snapshot expiration GCs it with the data.
-        index_cols = [c for c in self.snapshot().get("index_cols", [])
-                      if c in schema.fieldNames()]
         if index_cols:
-            bmode = self.bloom_mode
-            if bmode == "auto":
-                # same locality rule as stats_mode: a remote root can't be
-                # re-read driver-side; a local root's column read is faster
-                # than scheduling a Spark job for it
-                bmode = "spark" if "://" in self.root else "pyarrow"
-            if bmode == "spark":
+            if bmode == "fold":
+                self._attach_fold_blooms(bloom_acc, file_stats)
+            elif bmode == "spark":
                 self._build_bloom_sidecar_spark(
                     df.sparkSession, commit_abs, file_stats, index_cols)
             else:
@@ -1239,6 +1269,67 @@ class SnapshotTable:
         with open(os.path.join(commit_abs, FILE_STATS_NAME), "w") as f:
             json.dump(file_stats, f)
         return commit_rel, written
+
+    @staticmethod
+    def _attach_bloom_fold(out: DataFrame, index_cols: list[str]):
+        """FOLD-mode bloom build (r6, VERDICT r5 next-round #2): wrap the
+        write input in a mapInArrow PASS-THROUGH that accumulates each
+        partition's distinct indexed values while the batch streams to the
+        parquet writer in the SAME task — the indexed commit makes ONE
+        pass over the batch, nothing is re-read afterwards. The finished
+        blooms (a few hundred bytes per file) travel to the driver through
+        an accumulator, not the filesystem, so the path works unchanged on
+        object-store roots. Write partitions map 1:1 to ``part-NNNNN-*``
+        files, which is how the driver attaches each bloom to its file;
+        a partition split by maxRecordsPerFile attaches its (superset)
+        bloom to every piece — pruning stays superset-correct. Task
+        retries/speculation re-add identical payloads (partition content
+        is deterministic under sort-before-repartition); the driver
+        dedupes by (partition, column)."""
+        from hierarchical_to_relational_spark.functions.xxh64 import xxh64
+
+        sc = out.sparkSession.sparkContext
+        acc = sc.accumulator([], _ListAccumulatorParam())
+        present = list(index_cols)
+
+        def fold(batches):
+            import pyarrow.compute as pc
+            from pyspark import TaskContext
+
+            sets = {c: set() for c in present}
+            for b in batches:
+                for c in present:
+                    sets[c].update(pc.unique(b.column(c)).to_pylist())
+                yield b
+            pid = TaskContext.get().partitionId()
+            payload = []
+            for c, vals in sets.items():
+                vals.discard(None)
+                if vals:
+                    bb = _bloom_build(vals, xxh64)
+                    payload.append((pid, c, bb["m"], bb["k"], bb["b64"]))
+            if payload:
+                acc.add(payload)
+
+        return out.mapInArrow(fold, out.schema), acc
+
+    @staticmethod
+    def _attach_fold_blooms(acc, file_stats: dict) -> None:
+        """Driver half of fold mode: match each accumulated bloom to its
+        written file by the ``part-NNNNN`` partition-id prefix."""
+        by_pid: dict[tuple[int, str], dict] = {}
+        for pid, col, m, k, b64 in (acc.value or []):
+            by_pid.setdefault((int(pid), col), {"m": int(m), "k": int(k), "b64": b64})
+        if not by_pid:
+            return
+        for rel, st in file_stats.items():
+            try:
+                pid = int(rel.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            blooms = {col: bloom for (p, col), bloom in by_pid.items() if p == pid}
+            if blooms:
+                st["bloom"] = blooms
 
     @staticmethod
     def _build_bloom_sidecar(commit_abs: str, file_stats: dict,

@@ -1202,9 +1202,11 @@ def test_binpack_deltas_preserves_state_and_reduces_dirs(spark, tmp_path):
 
 
 def test_bloom_sidecar_spark_build_bit_identical(spark, tmp_path):
-    """bloom_mode='spark' (executor-side applyInPandas build, the remote-
-    root path) writes a sidecar BIT-IDENTICAL to the driver-side pyarrow
-    build on the same data, and equality probes prune identically."""
+    """bloom_mode='spark' (executor-side applyInPandas build) AND
+    bloom_mode='fold' (r6: built inside the write job itself — the
+    indexed commit makes ONE pass over the batch, no re-read) write
+    sidecars BIT-IDENTICAL to the driver-side pyarrow build on the same
+    data, and equality probes prune identically."""
     import hashlib
     import json as _json
     import os
@@ -1240,6 +1242,7 @@ def test_bloom_sidecar_spark_build_bit_identical(spark, tmp_path):
 
     ta = build(str(tmp_path / "ta"), str(tmp_path / "cka"), "pyarrow")
     tb = build(str(tmp_path / "tb"), str(tmp_path / "ckb"), "spark")
+    tc = build(str(tmp_path / "tc"), str(tmp_path / "ckc"), "fold")
 
     def blooms(t):
         # commit dirs carry uuid names: walk them in VERSION order (the
@@ -1258,23 +1261,25 @@ def test_bloom_sidecar_spark_build_bit_identical(spark, tmp_path):
             seen |= dirs
         return out
 
-    ba, bb = blooms(ta), blooms(tb)
-    assert ba and len(ba) == len(bb)
+    ba, bb, bc = blooms(ta), blooms(tb), blooms(tc)
+    assert ba and len(ba) == len(bb) == len(bc)
     # same data partitioned the same way → same per-file distinct sets →
     # identical bloom bits, both columns (string AND integral, whose
     # pandas null-float round trip must coerce back)
     assert _json.dumps(ba, sort_keys=True) == _json.dumps(bb, sort_keys=True)
+    assert _json.dumps(ba, sort_keys=True) == _json.dumps(bc, sort_keys=True)
 
     probe = hashlib.md5(b"1-3").hexdigest()
     kept_a = ta.read(spark, col_eq={"text": probe}).inputFiles()
     kept_b = tb.read(spark, col_eq={"text": probe}).inputFiles()
+    kept_c = tc.read(spark, col_eq={"text": probe}).inputFiles()
     # identical blooms → identical pruning decisions (file NAMES differ:
     # uuid part files — the counts and the result rows are the invariant)
-    assert len(kept_a) == len(kept_b) and kept_a
+    assert len(kept_a) == len(kept_b) == len(kept_c) and kept_a
     assert len(kept_a) < len(ta.read(spark).inputFiles())
     # col_eq prunes FILES (superset semantics); the row filter is the
     # caller's — together they give the exact probe result on both builds
-    for t in (ta, tb):
+    for t in (ta, tb, tc):
         assert ({tuple(r) for r in t.read(spark, col_eq={"text": probe})
                  .where(F.col("text") == probe)
                  .select("conv_id", "text").collect()}
